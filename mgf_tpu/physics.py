@@ -1,0 +1,308 @@
+"""Rigid-body state and integration.
+
+TPU-native counterpart of the reference's ``src/physics.rs`` +
+``src/compound.rs`` Component plumbing.  The whole body store is one
+structure-of-arrays pytree (:class:`RigidBodyState`), the direct analog of
+mgf's ``RigidBodyVec`` (physics.rs:141-155), integrated on device by
+:func:`integrate` / :func:`complete_motion`.
+
+Shape "Components" (sphere-or-capsule colliders, compound.rs:33-37) are
+encoded per body as ``(shape_type, shape_r, shape_half_h)`` — the
+``ComponentConstructor`` equivalent (compound.rs:211-215) — and the world
+collider is rebuilt from ``(x, q)`` every step exactly as physics.rs:243-251
+does.  Scenes are assembled host-side with :class:`SceneBuilder`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mgf_tpu.geom import Capsule, Sphere, capsule_center
+from mgf_tpu.math3d import (
+    cross, dot, magnitude, mat_identity, mat_inv3, mat_mul, mat_t, mat_vec,
+    outer, qmul, qnormalize, qrotate, quat_from_arc, quat_from_sv,
+    quat_to_mat, vec3,
+)
+
+SHAPE_SPHERE = 0
+SHAPE_CAPSULE = 1
+
+
+class RigidBodyState(NamedTuple):
+    """SoA rigid-body store (physics.rs:141-155), one pytree.
+
+    All arrays share leading axis N (body count).  ``delta`` is the sweep
+    displacement of the current frame's collider (``Moving::delta``); the
+    reference stores it inside ``collider: Vec<Moving<Component>>``.
+    """
+    x: jnp.ndarray               # (N, 3) position (collider center)
+    q: jnp.ndarray               # (N, 4) orientation, wxyz
+    v: jnp.ndarray               # (N, 3) linear velocity
+    omega: jnp.ndarray           # (N, 3) angular velocity
+    force: jnp.ndarray           # (N, 3) constant world force (gravity*mass)
+    torque: jnp.ndarray          # (N, 3)
+    restitution: jnp.ndarray     # (N,)
+    friction: jnp.ndarray        # (N,)
+    inv_mass: jnp.ndarray        # (N,)
+    inv_moment_body: jnp.ndarray  # (N, 3, 3) body-frame inverse inertia
+    inv_moment: jnp.ndarray      # (N, 3, 3) world-frame inverse inertia
+    shape_type: jnp.ndarray      # (N,) int32: 0 sphere / 1 capsule
+    shape_r: jnp.ndarray         # (N,) radius
+    shape_half_h: jnp.ndarray    # (N,) capsule half height (0 for spheres)
+    delta: jnp.ndarray           # (N, 3) sweep displacement v*dt this frame
+
+    @property
+    def n_bodies(self):
+        return self.x.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# inertia tensors (Inertia trait, physics.rs:26-120)
+# ---------------------------------------------------------------------------
+
+def sphere_tensor(c, r, m):
+    """physics.rs:30-46 (0.4 m r^2 + parallel-axis displacement term)."""
+    i = 0.4 * m * r * r
+    eye = mat_identity(jnp.shape(i))
+    base = eye * i[..., None, None]
+    disp = c
+    par = (eye * dot(disp, disp)[..., None, None] - outer(disp, disp))
+    return base + m[..., None, None] * par
+
+
+def capsule_tensor(a, d, r, m):
+    """physics.rs:48-84 — hemispheres + cylinder split, rotated by from_arc.
+
+    The hemisphere term reproduces the reference's formula verbatim
+    (physics.rs:62: ``is_x = mh * (3r + 2h)/4 * h``), which is what parity
+    requires even where it differs from the textbook expression.
+    """
+    h = magnitude(d)
+    mh = m * 2.0 * r / (4.0 * r + 3.0 * h)
+    mc = m * h / (4.0 / 3.0 * r + h)
+    ic_x = 1.0 / 12.0 * mc * (3.0 * r * r + h * h)
+    ic_y = 0.5 * mc * r * r
+    is_x = mh * (3.0 * r + 2.0 * h) / 4.0 * h
+    is_y = 4.0 / 5.0 * mh * r * r
+    i_x = ic_x + is_x
+    i_y = ic_y + is_y
+    i_z = i_x
+    src = vec3(0.0, 1.0, 0.0) * jnp.expand_dims(h, -1)
+    rot = quat_to_mat(quat_from_arc(jnp.broadcast_to(src, d.shape), d))
+    diag = (mat_identity(jnp.shape(m))
+            * jnp.stack([i_x, i_y, i_z], axis=-1)[..., None, :])
+    i = mat_mul(mat_mul(rot, diag), mat_t(rot))
+    center = a + d * 0.5
+    eye = mat_identity(jnp.shape(m))
+    par = (eye * dot(center, center)[..., None, None] - outer(center, center))
+    return i + m[..., None, None] * par
+
+
+def obb_tensor(c, q, r, m):
+    """physics.rs:95-120."""
+    x, y, z = 2.0 * r[..., 0], 2.0 * r[..., 1], 2.0 * r[..., 2]
+    i_x = 1.0 / 12.0 * m * (y * y + z * z)
+    i_y = 1.0 / 12.0 * m * (x * x + z * z)
+    i_z = 1.0 / 12.0 * m * (x * x + y * y)
+    rot = quat_to_mat(q)
+    diag = (mat_identity(jnp.shape(m))
+            * jnp.stack([i_x, i_y, i_z], axis=-1)[..., None, :])
+    i = mat_mul(mat_mul(rot, diag), mat_t(rot))
+    eye = mat_identity(jnp.shape(m))
+    par = eye * dot(c, c)[..., None, None] - outer(c, c)
+    return i + m[..., None, None] * par
+
+
+# ---------------------------------------------------------------------------
+# integration (physics.rs:222-269)
+# ---------------------------------------------------------------------------
+
+def integrate(state: RigidBodyState, dt) -> RigidBodyState:
+    """One semi-implicit Euler step (physics.rs:222-253).
+
+    q += 0.5 (0, w dt) * q (normalized); world inverse inertia R I^-1 R^T;
+    v += F m^-1 dt; w += I^-1 tau dt; collider swept by v dt.
+    """
+    omega_q = quat_from_sv(jnp.zeros(state.omega.shape[:-1],
+                                     state.omega.dtype),
+                           state.omega * dt)
+    q = qnormalize(state.q + qmul(omega_q, state.q) * 0.5)
+    r = quat_to_mat(q)
+    inv_moment = mat_mul(mat_mul(r, state.inv_moment_body), mat_t(r))
+    v = state.v + state.force * state.inv_mass[..., None] * dt
+    omega = state.omega + mat_vec(inv_moment, state.torque) * dt
+    return state._replace(q=q, inv_moment=inv_moment, v=v, omega=omega,
+                          delta=v * dt)
+
+
+def complete_motion(state: RigidBodyState) -> RigidBodyState:
+    """Commit the previous frame's sweep: x += delta (physics.rs:262-269)."""
+    return state._replace(x=state.x + state.delta)
+
+
+# ---------------------------------------------------------------------------
+# collider reconstruction (ComponentConstructor::construct,
+# compound.rs:217-228 + physics.rs:243-251)
+# ---------------------------------------------------------------------------
+
+def capsule_axis(state: RigidBodyState):
+    """Rotated half-axis of each capsule body: rot(q, (0, half_h, 0))."""
+    y = jnp.zeros_like(state.x).at[..., 1].set(state.shape_half_h)
+    return qrotate(state.q, y)
+
+
+def colliders(state: RigidBodyState):
+    """Rebuild world colliders as a (Sphere, Capsule) SoA pair.
+
+    Both batches cover all N bodies; ``shape_type`` selects which is live per
+    body.  Sphere centers are x; capsules run from x - d_half to x + d_half.
+    """
+    d_half = capsule_axis(state)
+    spheres = Sphere(c=state.x, r=state.shape_r)
+    capsules = Capsule(a=state.x - d_half, d=2.0 * d_half, r=state.shape_r)
+    return spheres, capsules
+
+
+def body_centers(state: RigidBodyState):
+    """Collider centers (== x for both shapes by construction)."""
+    return state.x
+
+
+# ---------------------------------------------------------------------------
+# host-side scene construction (RigidBodyVec::add_body, physics.rs:200-218)
+# ---------------------------------------------------------------------------
+
+def _np_quat_from_arc_y(d):
+    """Vectorized numpy from_arc((0,1,0), d) for capsule frames."""
+    d = np.asarray(d, np.float64)
+    dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    y = np.asarray([0.0, 1.0, 0.0])
+    w = 1.0 + dn @ y
+    v = np.cross(np.broadcast_to(y, dn.shape), dn)
+    q = np.concatenate([w[..., None], v], axis=-1)
+    anti = w < 1e-6
+    # antiparallel: 180 deg around x (perpendicular to y)
+    q[anti] = np.asarray([0.0, 1.0, 0.0, 0.0])
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return q.astype(np.float32)
+
+
+class SceneBuilder:
+    """Accumulates bodies host-side (numpy), then freezes to a pytree.
+
+    NOTE on inertia parity: mgf computes the "body-frame" inverse inertia
+    from the collider in its *initial world orientation* and then also
+    rotates it by q each step (physics.rs:212 + 230-233) — for capsules
+    added with a non-y axis the initial rotation is applied twice.  We store
+    the canonical y-aligned tensor instead (the physically correct body
+    frame); divergence is documented here and only affects rotating-capsule
+    trajectories.
+    """
+
+    def __init__(self):
+        self._batches = []
+
+    def add_spheres(self, centers, radii, mass, restitution, friction,
+                    gravity=(0.0, -9.8, 0.0)):
+        """Vectorized sphere batch: centers (B,3); scalars broadcast."""
+        centers = np.atleast_2d(np.asarray(centers, np.float32))
+        b = centers.shape[0]
+        br = lambda s: np.broadcast_to(
+            np.asarray(s, np.float32), (b,)).copy()
+        self._batches.append(dict(
+            kind=np.full(b, SHAPE_SPHERE, np.int32), x=centers,
+            q=np.tile(np.asarray([[1, 0, 0, 0]], np.float32), (b, 1)),
+            r=br(radii), half_h=np.zeros(b, np.float32), mass=br(mass),
+            restitution=br(restitution), friction=br(friction),
+            gravity=np.broadcast_to(np.asarray(gravity, np.float32),
+                                    (b, 3)).copy()))
+
+    def add_capsules(self, a, d, radii, mass, restitution, friction,
+                     gravity=(0.0, -9.8, 0.0)):
+        """Vectorized capsule batch from start points + axis vectors
+        (Component::deconstruct, compound.rs:46-50: center = a + d/2,
+        rot = from_arc(y, d))."""
+        a = np.atleast_2d(np.asarray(a, np.float64))
+        d = np.atleast_2d(np.asarray(d, np.float64))
+        d = np.broadcast_to(d, a.shape)
+        b = a.shape[0]
+        br = lambda s: np.broadcast_to(np.asarray(s, np.float32), (b,)).copy()
+        self._batches.append(dict(
+            kind=np.full(b, SHAPE_CAPSULE, np.int32),
+            x=(a + d * 0.5).astype(np.float32),
+            q=_np_quat_from_arc_y(d),
+            r=br(radii),
+            half_h=(np.linalg.norm(d, axis=-1) * 0.5).astype(np.float32),
+            mass=br(mass), restitution=br(restitution), friction=br(friction),
+            gravity=np.broadcast_to(np.asarray(gravity, np.float32),
+                                    (b, 3)).copy()))
+
+    # scalar conveniences -------------------------------------------------
+    def add_sphere(self, center, radius, mass, restitution, friction,
+                   gravity=(0.0, -9.8, 0.0)):
+        self.add_spheres(np.asarray(center, np.float32)[None, :], radius,
+                         mass, restitution, friction, gravity)
+        return sum(len(b['r']) for b in self._batches) - 1
+
+    def add_capsule(self, a, d, radius, mass, restitution, friction,
+                    gravity=(0.0, -9.8, 0.0)):
+        self.add_capsules(np.asarray(a, np.float64)[None, :],
+                          np.asarray(d, np.float64)[None, :], radius,
+                          mass, restitution, friction, gravity)
+        return sum(len(b['r']) for b in self._batches) - 1
+
+    def build(self) -> RigidBodyState:
+        g = lambda k: np.concatenate([b[k] for b in self._batches], axis=0)
+        kind = g('kind')
+        x = g('x')
+        q = g('q')
+        r = g('r')
+        half_h = g('half_h')
+        mass = g('mass')
+        n = x.shape[0]
+
+        # inverse body inertia at the collider origin, vectorized
+        # (physics.rs:212: (collider - x).tensor(mass).invert()):
+        # spheres: diag(1 / (0.4 m r^2)); capsules: y-aligned closed form.
+        inv_t = np.zeros((n, 3, 3), np.float32)
+        sph = kind == SHAPE_SPHERE
+        i_sph = 0.4 * mass * r * r
+        for ax in range(3):
+            inv_t[sph, ax, ax] = 1.0 / i_sph[sph]
+        cap = ~sph
+        if cap.any():
+            h = 2.0 * half_h[cap]
+            rr = r[cap]
+            m = mass[cap]
+            mh = m * 2.0 * rr / (4.0 * rr + 3.0 * h)
+            mc = m * h / (4.0 / 3.0 * rr + h)
+            ic_x = 1.0 / 12.0 * mc * (3.0 * rr * rr + h * h)
+            ic_y = 0.5 * mc * rr * rr
+            is_x = mh * (3.0 * rr + 2.0 * h) / 4.0 * h
+            is_y = 4.0 / 5.0 * mh * rr * rr
+            i_x = ic_x + is_x
+            i_y = ic_y + is_y
+            idx = np.nonzero(cap)[0]
+            inv_t[idx, 0, 0] = 1.0 / i_x
+            inv_t[idx, 1, 1] = 1.0 / i_y
+            inv_t[idx, 2, 2] = 1.0 / i_x
+
+        return RigidBodyState(
+            x=jnp.asarray(x), q=jnp.asarray(q),
+            v=jnp.zeros((n, 3), jnp.float32),
+            omega=jnp.zeros((n, 3), jnp.float32),
+            force=jnp.asarray(g('gravity') * mass[:, None]),
+            torque=jnp.zeros((n, 3), jnp.float32),
+            restitution=jnp.asarray(g('restitution')),
+            friction=jnp.asarray(g('friction')),
+            inv_mass=jnp.asarray(1.0 / mass),
+            inv_moment_body=jnp.asarray(inv_t),
+            inv_moment=jnp.asarray(inv_t),
+            shape_type=jnp.asarray(kind),
+            shape_r=jnp.asarray(r),
+            shape_half_h=jnp.asarray(half_h),
+            delta=jnp.zeros((n, 3), jnp.float32),
+        )
