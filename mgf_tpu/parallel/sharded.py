@@ -4,27 +4,21 @@ Decomposition (per step):
 
 * ``complete_motion`` / ``integrate`` — embarrassingly parallel over the
   body shard; no communication.
-* broadphase — swept-bound centers are all-gathered (N x 3 floats: tiny
-  relative to ICI bandwidth), every device builds the same cell table and
-  generates candidates *only for its own rows*.
-* narrowphase / manifolds / constraint assembly — device-local over the
-  shard's candidate rows; partner shape data is read from the all-gathered
-  ShapeView.
-* solver — velocities are kept replicated inside the step: every device
-  computes impulses for its local constraint block and the per-body velocity
-  deltas are ``psum``-reduced across the mesh each phase, so all devices
-  march the same velocity state (a TP-style decomposition: work sharded,
-  small state replicated, collectives over ICI).
+* broadphase — swept-bound centers are all-gathered (N x 8 floats packed),
+  every device builds the same cell table and generates candidates only for
+  its own rows.
+* narrowphase / manifolds / constraint rows — device-local over the shard's
+  candidate rows; partner shape data is read from the all-gathered packed
+  shape table (one wide gather per side).
+* solver — the scatter-free row solver: each device updates its own rows'
+  velocities and the packed (8, N) body state is re-all-gathered each
+  solver phase (3.2 MB at N = 100k — ICI noise).  No psum, no scatter.
 
-Communication per step: ~5 all-gathers of (N,3)-ish arrays + 2 psums of
-(N+1,3) per solver phase.  At N = 100k and 20 iterations this is ~100 MB of
-ICI traffic — a few ms on a v5e pod slice; the arithmetic it parallelizes
-is the dominant cost.
+Communication per step: 2 all-gathers of (N, 8)-ish tables +
+``solver_iters`` all-gathers of the (8, N) state.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +27,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mgf_tpu import broadphase
 from mgf_tpu.collision import LocalContact
-from mgf_tpu.manifold import prune
+from mgf_tpu.manifold import Manifold, prune
+from mgf_tpu.math3d import Vec3, cross, mat_vec
 from mgf_tpu.physics import RigidBodyState, complete_motion, integrate
-from mgf_tpu.solver import BodyView, build_constraints
-from mgf_tpu.solver import _friction_impulses, _normal_impulse
-from mgf_tpu.math3d import cross, mat_vec
+from mgf_tpu.solver import (
+    BodyView, _friction_impulses, _normal_impulse, build_row_constraints,
+    pack_body_state, unpack_body_state,
+)
 from mgf_tpu.world import (
-    World, WorldConfig, ShapeView, _body_bounds, _pair_contact,
-    _terrain_contact,
+    ShapeView, World, WorldConfig, _body_bounds, _pair_contact,
+    _terrain_contact, gather_shapes, pack_shapes,
 )
 
 
@@ -52,61 +48,83 @@ def shard_world(world: World, mesh: Mesh, axis: str = "b") -> World:
         lambda x: jax.device_put(x, body_sharding), world.bodies)
     terrain = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), world.terrain)
-    return World(bodies=bodies, terrain=terrain,
-                 terrain_center=jax.device_put(world.terrain_center, repl))
+    center = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), world.terrain_center)
+    return World(bodies=bodies, terrain=terrain, terrain_center=center)
 
 
 def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
-    """Build a jitted sharded step.  Body count must divide the mesh size."""
-    n_dev = mesh.shape[axis]
+    """Build a jitted sharded step.  Body count must divide the mesh size.
+    Always uses the scatter-free row solver."""
 
     def _local_step(bodies: RigidBodyState, terrain, terrain_center):
-        # bodies: the LOCAL shard (n_loc rows)
         state = complete_motion(bodies)
         state = integrate(state, cfg.dt)
-        n_loc = state.x.shape[0]
+        n_loc = state.inv_mass.shape[0]
         dev = jax.lax.axis_index(axis)
         row0 = dev * n_loc
         rows_g = row0 + jnp.arange(n_loc, dtype=jnp.int32)
-        n_tris = terrain.a.shape[0]
+        n_tris = terrain.a.x.shape[0]
 
         # ---- global shape view (all-gather the narrowphase slice) ----
         local_view = ShapeView(x=state.x, q=state.q, delta=state.delta,
                                shape_type=state.shape_type,
                                shape_r=state.shape_r,
                                shape_half_h=state.shape_half_h)
-        gview = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, axis, tiled=True), local_view)
-        n_glob = gview.x.shape[0]
+        ag = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis, tiled=True), t)
+        gview = ag(local_view)
+        n_glob = gview.shape_r.shape[0]
+        ps = pack_shapes(gview)
 
         # ---- broadphase: replicated table, local candidate rows ----
         bounds_g = broadphase.swept_fat_bounds(
             _body_bounds(cfg, gview), gview.delta, cfg.fatten)
         table = broadphase.build_grid(bounds_g.c, cfg.grid)
-        local_centers = jax.lax.dynamic_slice_in_dim(bounds_g.c, row0, n_loc)
+        local_centers = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, row0, n_loc),
+            bounds_g.c)
         cand = broadphase.neighbor_candidates(local_centers, table, cfg.grid)
-        partner, pair_ok = _refine_local(bounds_g, cand, rows_g,
-                                         cfg.max_pairs)
+        partner, pair_ok = broadphase.refine_pairs(
+            bounds_g, cand, cfg.max_pairs, self_rows=rows_g, ordered=False)
 
         # ---- narrowphase over local candidate rows ----
         prow = jnp.broadcast_to(rows_g[:, None], partner.shape).reshape(-1)
         pcol = jnp.where(pair_ok, partner, 0).reshape(-1)
         pair_valid = pair_ok.reshape(-1)
-        pc = jax.vmap(lambda i, j: _pair_contact(cfg, gview, i, j),
-                      in_axes=(0, 0), out_axes=1)(prow, pcol)
+        ga = gather_shapes(cfg, ps, prow)
+        gb = gather_shapes(cfg, ps, pcol)
+        pc = _pair_contact(cfg, ga, gb)
         pc = pc._replace(valid=pc.valid & pair_valid[None, :])
         lc = LocalContact(
-            local_a=pc.a - (gview.x[prow] + gview.delta[prow]
-                            * pc.t[..., None]),
-            local_b=pc.b - (gview.x[pcol] + gview.delta[pcol]
-                            * pc.t[..., None]),
+            local_a=pc.a - (ga.x + ga.delta * pc.t),
+            local_b=pc.b - (gb.x + gb.delta * pc.t),
             contact=pc)
         n_slots = 1 if cfg.shape_mode == "spheres" else 2
         pair_manifold = prune(lc, max_contacts=n_slots)
+        K = partner.shape[1]
 
-        manifolds = [pair_manifold]
-        idx_a = [prow]
-        idx_b = [pcol]
+        def man_to_rows(man, width):
+            S = man.valid.shape[0]
+            slotf = lambda x: (x.reshape(S, n_loc, width).swapaxes(1, 2)
+                               .reshape(S * width, n_loc))
+            pairf = lambda x: jnp.broadcast_to(
+                x.reshape(n_loc, width).T[None],
+                (S, width, n_loc)).reshape(-1, n_loc)
+            return Manifold(
+                time=pairf(man.time),
+                normal=jax.tree_util.tree_map(pairf, man.normal),
+                t1=jax.tree_util.tree_map(pairf, man.t1),
+                t2=jax.tree_util.tree_map(pairf, man.t2),
+                local_a=jax.tree_util.tree_map(slotf, man.local_a),
+                local_b=jax.tree_util.tree_map(slotf, man.local_b),
+                valid=slotf(man.valid),
+            )
+
+        blocks = [man_to_rows(pair_manifold, K)]
+        partners = [jnp.broadcast_to(
+            jnp.where(pair_ok, partner, n_glob).T[None],
+            (pair_manifold.valid.shape[0], K, n_loc)).reshape(-1, n_loc)]
         if n_tris > 0:
             t_rows = jnp.broadcast_to(rows_g[:, None],
                                       (n_loc, n_tris)).reshape(-1)
@@ -114,141 +132,117 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
                 jnp.arange(n_tris, dtype=jnp.int32)[None, :],
                 (n_loc, n_tris)).reshape(-1)
             tri = jax.tree_util.tree_map(lambda x: x[t_tris], terrain)
-            tc = jax.vmap(lambda t, i: _terrain_contact(cfg, gview, t, i),
-                          in_axes=(0, 0), out_axes=1)(tri, t_rows)
+            gt = gather_shapes(cfg, ps, t_rows)
+            tc = _terrain_contact(cfg, gt, tri)
             t_lc = LocalContact(
-                local_a=tc.a - (gview.x[t_rows] + gview.delta[t_rows]
-                                * tc.t[..., None]),
+                local_a=tc.a - (gt.x + gt.delta * tc.t),
                 local_b=tc.b - terrain_center,
                 contact=tc)
-            manifolds.append(prune(t_lc, max_contacts=2))
-            idx_a.append(t_rows)
-            idx_b.append(jnp.full_like(t_rows, n_glob))
+            blocks.append(man_to_rows(prune(t_lc, max_contacts=2), n_tris))
+            partners.append(jnp.full((2 * n_tris, n_loc), n_glob,
+                                     jnp.int32))
 
-        # ---- replicated extended body view for the solver ----
-        gather_dyn = lambda arr: jax.lax.all_gather(arr, axis, tiled=True)
-        static_row = lambda g: jnp.concatenate(
+        man_rows = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *blocks)
+        partner_rows = jnp.concatenate(partners, axis=0)
+
+        # ---- replicated extended body view for constraint precompute ----
+        srow = lambda g: jnp.concatenate(
             [g, jnp.zeros((1,) + g.shape[1:], g.dtype)], axis=0)
+        srow_t = lambda t: jax.tree_util.tree_map(srow, t)
         bodies_ext = BodyView(
-            x=jnp.concatenate([gather_dyn(state.x + state.delta),
-                               terrain_center[None, :]], axis=0),
-            v=static_row(gather_dyn(state.v)),
-            omega=static_row(gather_dyn(state.omega)),
-            restitution=static_row(gather_dyn(state.restitution)),
-            friction=static_row(gather_dyn(state.friction)),
-            inv_mass=static_row(gather_dyn(state.inv_mass)),
-            inv_moment=static_row(gather_dyn(state.inv_moment)),
+            x=jax.tree_util.tree_map(
+                lambda g, c: jnp.concatenate([g, c[None]], axis=0),
+                ag(state.x + state.delta), terrain_center),
+            v=srow_t(ag(state.v)),
+            omega=srow_t(ag(state.omega)),
+            restitution=srow(jax.lax.all_gather(state.restitution, axis,
+                                                tiled=True)),
+            friction=srow(jax.lax.all_gather(state.friction, axis,
+                                             tiled=True)),
+            inv_mass=srow(jax.lax.all_gather(state.inv_mass, axis,
+                                             tiled=True)),
+            inv_moment=srow_t(ag(state.inv_moment)),
         )
-        m_ext = n_glob + 1
 
-        # ---- mass-splitting counts (psum across shards) ----
-        def manifold_counts(man, ia, ib):
-            pts = jnp.sum(man.valid, axis=-1).astype(jnp.float32)
-            ca = jax.ops.segment_sum(pts, ia, num_segments=m_ext)
-            cb = jax.ops.segment_sum(pts, ib, num_segments=m_ext)
-            return ca + cb
+        # mass splitting: local row counts, all-gathered for partner lookups
+        counts_loc = jnp.maximum(
+            jnp.sum(man_rows.valid, axis=0).astype(jnp.float32), 1.0)
+        counts = jnp.concatenate(
+            [jax.lax.all_gather(counts_loc, axis, tiled=True),
+             jnp.ones((1,), jnp.float32)])
 
-        counts = sum(manifold_counts(m, a, b)
-                     for m, a, b in zip(manifolds, idx_a, idx_b))
-        counts = jnp.maximum(jax.lax.psum(counts, axis), 1.0)
+        rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
+                                   cfg.dt, counts=counts, self_rows=rows_g)
 
-        cons = []
-        for man, ia, ib in zip(manifolds, idx_a, idx_b):
-            cons.append(build_constraints(
-                bodies_ext, ia, ib, man, cfg.dt,
-                split_a=counts[ia], split_b=counts[ib]))
-        con = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *cons)
+        # ---- scatter-free sharded row solve ----
+        v0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, row0, n_loc),
+            bodies_ext.v)
+        o0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, row0, n_loc),
+            bodies_ext.omega)
+        S_loc = pack_body_state(v0, o0)                # (8, n_loc)
+        ima = state.inv_mass
+        Ia = state.inv_moment
 
-        # ---- psum-reduced mass-split Jacobi solve ----
-        ok = con.valid
-        okf = ok.astype(bodies_ext.v.dtype)[..., None]
-        inv_mass, inv_moment = bodies_ext.inv_mass, bodies_ext.inv_moment
+        def glob(S_loc):
+            S_g = jax.lax.all_gather(S_loc, axis, axis=1, tiled=True)
+            return jnp.concatenate(
+                [S_g, jnp.zeros((8, 1), S_g.dtype)], axis=1)
 
-        def apply_impulse(v, omega, imp):
-            imp = imp * okf
-            dva = jax.ops.segment_sum(-imp, con.body_a, num_segments=m_ext)
-            dvb = jax.ops.segment_sum(imp, con.body_b, num_segments=m_ext)
-            la = jax.ops.segment_sum(-cross(con.ra, imp), con.body_a,
-                                     num_segments=m_ext)
-            lb = jax.ops.segment_sum(cross(con.rb, imp), con.body_b,
-                                     num_segments=m_ext)
-            dv = jax.lax.psum(dva + dvb, axis)
-            dl = jax.lax.psum(la + lb, axis)
-            return (v + dv * inv_mass[..., None],
-                    omega + mat_vec(inv_moment, dl))
+        def rel_vel(S_glob, S_loc):
+            g = S_glob[:, rc.partner]
+            vb = Vec3(g[0], g[1], g[2])
+            ob = Vec3(g[3], g[4], g[5])
+            va = Vec3(S_loc[0][None], S_loc[1][None], S_loc[2][None])
+            oa = Vec3(S_loc[3][None], S_loc[4][None], S_loc[5][None])
+            return (vb + cross(ob, rc.rb)) - (va + cross(oa, rc.ra))
 
-        def rel_vel(v, omega):
-            va, vb = v[con.body_a], v[con.body_b]
-            oa, ob = omega[con.body_a], omega[con.body_b]
-            return (vb + cross(ob, con.rb)) - (va + cross(oa, con.ra))
+        def apply_self(S_loc, imp: Vec3):
+            imp = Vec3(imp.x * rc.valid, imp.y * rc.valid, imp.z * rc.valid)
+            lin = Vec3(-imp.x.sum(0), -imp.y.sum(0), -imp.z.sum(0)) * ima
+            ang_pt = -cross(rc.ra, imp)
+            ang = mat_vec(Ia, Vec3(ang_pt.x.sum(0), ang_pt.y.sum(0),
+                                   ang_pt.z.sum(0)))
+            return S_loc + jnp.stack(
+                [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z,
+                 jnp.zeros_like(lin.x), jnp.zeros_like(lin.x)], axis=0)
 
         def sweep(carry, _):
-            v, omega, acc_n, acc_t = carry
-            dv = rel_vel(v, omega)
-            f_app, acc_t = _friction_impulses(con, None, dv, acc_t,
-                                              cfg.friction_mode, acc_n)
-            imp = (con.tangent[:, 0, :] * f_app[:, 0:1]
-                   + con.tangent[:, 1, :] * f_app[:, 1:2])
-            v, omega = apply_impulse(v, omega, imp)
-            dv = rel_vel(v, omega)
-            n_app, acc_n = _normal_impulse(con, dv, acc_n)
-            v, omega = apply_impulse(v, omega, con.normal * n_app[..., None])
-            return (v, omega, acc_n, acc_t), None
+            S_loc, acc_n, acc_t1, acc_t2 = carry
+            S_g = glob(S_loc)
+            dv = rel_vel(S_g, S_loc)
+            f1, f2, acc_t1, acc_t2 = _friction_impulses(
+                rc, dv, acc_t1, acc_t2, cfg.friction_mode, acc_n)
+            fn, acc_n = _normal_impulse(rc, dv, acc_n)
+            S_loc = apply_self(S_loc, rc.t1 * f1 + rc.t2 * f2
+                               + rc.normal * fn)
+            return (S_loc, acc_n, acc_t1, acc_t2), None
 
-        n_con = con.body_a.shape[0]
-        init = (bodies_ext.v, bodies_ext.omega,
-                jnp.zeros((n_con,), jnp.float32),
-                jnp.zeros((n_con, 2), jnp.float32))
-        (v_g, o_g, _, _), _ = jax.lax.scan(sweep, init, None,
-                                           length=cfg.solver_iters)
-
-        v_loc = jax.lax.dynamic_slice_in_dim(v_g, row0, n_loc)
-        o_loc = jax.lax.dynamic_slice_in_dim(o_g, row0, n_loc)
-        state = state._replace(v=v_loc, omega=o_loc)
+        zero = jnp.zeros(rc.valid.shape, jnp.float32)
+        (S_loc, _, _, _), _ = jax.lax.scan(
+            sweep, (S_loc, zero, zero, zero), None, length=cfg.solver_iters)
+        v_new, o_new = unpack_body_state(S_loc)
+        state = state._replace(v=v_new, omega=o_new)
 
         metrics = {
             "broadphase_overflow": table.overflow,
             "num_pairs": jax.lax.psum(jnp.sum(pair_valid), axis),
-            "num_contacts": jax.lax.psum(jnp.sum(con.valid), axis),
+            "num_contacts": jax.lax.psum(jnp.sum(rc.valid), axis),
         }
         return state, metrics
 
-    body_spec = jax.tree_util.tree_map(lambda _: P(axis),
-                                       RigidBodyState._fields)
     sharded = shard_map(
         _local_step, mesh=mesh,
-        in_specs=(RigidBodyState(*[P(axis)] * len(RigidBodyState._fields)),
-                  P(), P()),
-        out_specs=(RigidBodyState(*[P(axis)] * len(RigidBodyState._fields)),
-                   P()),
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P()),
         check_rep=False)
 
     @jax.jit
-    def step(world: World):
+    def step_fn(world: World):
         bodies, metrics = sharded(world.bodies, world.terrain,
                                   world.terrain_center)
         return world._replace(bodies=bodies), metrics
 
-    return step
-
-
-def _refine_local(bounds_g, cand, rows_g, max_pairs):
-    """refine_pairs against global bounds for a local row block."""
-    import jax.numpy as jnp
-    from mgf_tpu.math3d import magnitude2
-    self_c = bounds_g.c[rows_g]
-    self_r = bounds_g.r[rows_g]
-    safe = jnp.maximum(cand, 0)
-    cc = bounds_g.c[safe]
-    cr = bounds_g.r[safe]
-    ok = (cand >= 0) & (cand < rows_g[:, None])
-    overlap = jnp.all(jnp.abs(cc - self_c[:, None, :])
-                      <= cr + self_r[:, None, :], axis=-1)
-    ok = ok & overlap
-    d2 = magnitude2(cc - self_c[:, None, :])
-    score = jnp.where(ok, -d2, -jnp.inf)
-    top, idx = jax.lax.top_k(score, max_pairs)
-    partner = jnp.take_along_axis(jnp.where(ok, cand, -1), idx, axis=1)
-    valid = jnp.isfinite(top)
-    return jnp.where(valid, partner, -1), valid
+    return step_fn

@@ -2,9 +2,9 @@
 
 TPU-native counterpart of the reference's ``src/physics.rs`` +
 ``src/compound.rs`` Component plumbing.  The whole body store is one
-structure-of-arrays pytree (:class:`RigidBodyState`), the direct analog of
-mgf's ``RigidBodyVec`` (physics.rs:141-155), integrated on device by
-:func:`integrate` / :func:`complete_motion`.
+structure-of-arrays pytree (:class:`RigidBodyState`) — the direct analog of
+mgf's ``RigidBodyVec`` (physics.rs:141-155) — with every vector a
+:class:`~mgf_tpu.math3d.Vec3` of (N,) component arrays (see math3d for why).
 
 Shape "Components" (sphere-or-capsule colliders, compound.rs:33-37) are
 encoded per body as ``(shape_type, shape_r, shape_half_h)`` — the
@@ -20,11 +20,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from mgf_tpu.geom import Capsule, Sphere, capsule_center
+from mgf_tpu.geom import Capsule, Sphere
 from mgf_tpu.math3d import (
-    cross, dot, magnitude, mat_identity, mat_inv3, mat_mul, mat_t, mat_vec,
-    outer, qmul, qnormalize, qrotate, quat_from_arc, quat_from_sv,
-    quat_to_mat, vec3,
+    Mat3, Quat, Vec3, cross, dot, magnitude, mat_identity, mat_inv3, mat_mul,
+    mat_t, mat_vec, mfrom, outer, qfrom, qmul, qnormalize, qrotate,
+    quat_from_arc, quat_from_sv, quat_to_mat, vec3, vfrom, vzeros_like,
 )
 
 SHAPE_SPHERE = 0
@@ -34,51 +34,48 @@ SHAPE_CAPSULE = 1
 class RigidBodyState(NamedTuple):
     """SoA rigid-body store (physics.rs:141-155), one pytree.
 
-    All arrays share leading axis N (body count).  ``delta`` is the sweep
-    displacement of the current frame's collider (``Moving::delta``); the
-    reference stores it inside ``collider: Vec<Moving<Component>>``.
+    ``delta`` is the current frame's sweep displacement (``Moving::delta``);
+    the reference stores it inside ``collider: Vec<Moving<Component>>``.
     """
-    x: jnp.ndarray               # (N, 3) position (collider center)
-    q: jnp.ndarray               # (N, 4) orientation, wxyz
-    v: jnp.ndarray               # (N, 3) linear velocity
-    omega: jnp.ndarray           # (N, 3) angular velocity
-    force: jnp.ndarray           # (N, 3) constant world force (gravity*mass)
-    torque: jnp.ndarray          # (N, 3)
-    restitution: jnp.ndarray     # (N,)
-    friction: jnp.ndarray        # (N,)
-    inv_mass: jnp.ndarray        # (N,)
-    inv_moment_body: jnp.ndarray  # (N, 3, 3) body-frame inverse inertia
-    inv_moment: jnp.ndarray      # (N, 3, 3) world-frame inverse inertia
-    shape_type: jnp.ndarray      # (N,) int32: 0 sphere / 1 capsule
-    shape_r: jnp.ndarray         # (N,) radius
-    shape_half_h: jnp.ndarray    # (N,) capsule half height (0 for spheres)
-    delta: jnp.ndarray           # (N, 3) sweep displacement v*dt this frame
+    x: Vec3                  # position (collider center)
+    q: Quat                  # orientation
+    v: Vec3                  # linear velocity
+    omega: Vec3              # angular velocity
+    force: Vec3              # constant world force (gravity * mass)
+    torque: Vec3
+    restitution: jnp.ndarray  # (N,)
+    friction: jnp.ndarray    # (N,)
+    inv_mass: jnp.ndarray    # (N,)
+    inv_moment_body: Mat3    # body-frame inverse inertia
+    inv_moment: Mat3         # world-frame inverse inertia
+    shape_type: jnp.ndarray  # (N,) int32: 0 sphere / 1 capsule
+    shape_r: jnp.ndarray     # (N,)
+    shape_half_h: jnp.ndarray  # (N,) capsule half height (0 for spheres)
+    delta: Vec3              # sweep displacement v*dt this frame
 
     @property
     def n_bodies(self):
-        return self.x.shape[0]
+        return self.inv_mass.shape[0]
 
 
 # ---------------------------------------------------------------------------
 # inertia tensors (Inertia trait, physics.rs:26-120)
 # ---------------------------------------------------------------------------
 
-def sphere_tensor(c, r, m):
+def sphere_tensor(c: Vec3, r, m) -> Mat3:
     """physics.rs:30-46 (0.4 m r^2 + parallel-axis displacement term)."""
     i = 0.4 * m * r * r
-    eye = mat_identity(jnp.shape(i))
-    base = eye * i[..., None, None]
-    disp = c
-    par = (eye * dot(disp, disp)[..., None, None] - outer(disp, disp))
-    return base + m[..., None, None] * par
+    base = mat_identity(jnp.shape(i)) * i
+    par = mat_identity(jnp.shape(i)) * dot(c, c) - outer(c, c)
+    return base + par * m
 
 
-def capsule_tensor(a, d, r, m):
+def capsule_tensor(a: Vec3, d: Vec3, r, m) -> Mat3:
     """physics.rs:48-84 — hemispheres + cylinder split, rotated by from_arc.
 
-    The hemisphere term reproduces the reference's formula verbatim
-    (physics.rs:62: ``is_x = mh * (3r + 2h)/4 * h``), which is what parity
-    requires even where it differs from the textbook expression.
+    The hemisphere term reproduces the reference formula verbatim
+    (physics.rs:62: ``is_x = mh * (3r + 2h)/4 * h``) for parity even where it
+    differs from the textbook expression.
     """
     h = magnitude(d)
     mh = m * 2.0 * r / (4.0 * r + 3.0 * h)
@@ -89,31 +86,28 @@ def capsule_tensor(a, d, r, m):
     is_y = 4.0 / 5.0 * mh * r * r
     i_x = ic_x + is_x
     i_y = ic_y + is_y
-    i_z = i_x
-    src = vec3(0.0, 1.0, 0.0) * jnp.expand_dims(h, -1)
-    rot = quat_to_mat(quat_from_arc(jnp.broadcast_to(src, d.shape), d))
-    diag = (mat_identity(jnp.shape(m))
-            * jnp.stack([i_x, i_y, i_z], axis=-1)[..., None, :])
+    src = vec3(0.0, 1.0, 0.0) * h
+    rot = quat_to_mat(quat_from_arc(src, d))
+    from mgf_tpu.math3d import mat_diag
+    diag = mat_diag(i_x, i_y, i_x)
     i = mat_mul(mat_mul(rot, diag), mat_t(rot))
     center = a + d * 0.5
-    eye = mat_identity(jnp.shape(m))
-    par = (eye * dot(center, center)[..., None, None] - outer(center, center))
-    return i + m[..., None, None] * par
+    par = mat_identity(jnp.shape(m)) * dot(center, center) - outer(center,
+                                                                   center)
+    return i + par * m
 
 
-def obb_tensor(c, q, r, m):
+def obb_tensor(c: Vec3, q: Quat, r: Vec3, m) -> Mat3:
     """physics.rs:95-120."""
-    x, y, z = 2.0 * r[..., 0], 2.0 * r[..., 1], 2.0 * r[..., 2]
+    from mgf_tpu.math3d import mat_diag
+    x, y, z = 2.0 * r.x, 2.0 * r.y, 2.0 * r.z
     i_x = 1.0 / 12.0 * m * (y * y + z * z)
     i_y = 1.0 / 12.0 * m * (x * x + z * z)
     i_z = 1.0 / 12.0 * m * (x * x + y * y)
     rot = quat_to_mat(q)
-    diag = (mat_identity(jnp.shape(m))
-            * jnp.stack([i_x, i_y, i_z], axis=-1)[..., None, :])
-    i = mat_mul(mat_mul(rot, diag), mat_t(rot))
-    eye = mat_identity(jnp.shape(m))
-    par = eye * dot(c, c)[..., None, None] - outer(c, c)
-    return i + m[..., None, None] * par
+    i = mat_mul(mat_mul(rot, mat_diag(i_x, i_y, i_z)), mat_t(rot))
+    par = mat_identity(jnp.shape(m)) * dot(c, c) - outer(c, c)
+    return i + par * m
 
 
 # ---------------------------------------------------------------------------
@@ -121,18 +115,14 @@ def obb_tensor(c, q, r, m):
 # ---------------------------------------------------------------------------
 
 def integrate(state: RigidBodyState, dt) -> RigidBodyState:
-    """One semi-implicit Euler step (physics.rs:222-253).
-
+    """One semi-implicit Euler step (physics.rs:222-253):
     q += 0.5 (0, w dt) * q (normalized); world inverse inertia R I^-1 R^T;
-    v += F m^-1 dt; w += I^-1 tau dt; collider swept by v dt.
-    """
-    omega_q = quat_from_sv(jnp.zeros(state.omega.shape[:-1],
-                                     state.omega.dtype),
-                           state.omega * dt)
+    v += F m^-1 dt; w += I^-1 tau dt; collider swept by v dt."""
+    omega_q = quat_from_sv(jnp.zeros_like(state.omega.x), state.omega * dt)
     q = qnormalize(state.q + qmul(omega_q, state.q) * 0.5)
     r = quat_to_mat(q)
     inv_moment = mat_mul(mat_mul(r, state.inv_moment_body), mat_t(r))
-    v = state.v + state.force * state.inv_mass[..., None] * dt
+    v = state.v + state.force * (state.inv_mass * dt)
     omega = state.omega + mat_vec(inv_moment, state.torque) * dt
     return state._replace(q=q, inv_moment=inv_moment, v=v, omega=omega,
                           delta=v * dt)
@@ -148,25 +138,25 @@ def complete_motion(state: RigidBodyState) -> RigidBodyState:
 # compound.rs:217-228 + physics.rs:243-251)
 # ---------------------------------------------------------------------------
 
-def capsule_axis(state: RigidBodyState):
+def capsule_axis(state) -> Vec3:
     """Rotated half-axis of each capsule body: rot(q, (0, half_h, 0))."""
-    y = jnp.zeros_like(state.x).at[..., 1].set(state.shape_half_h)
-    return qrotate(state.q, y)
+    zero = jnp.zeros_like(state.shape_half_h)
+    return qrotate(state.q, Vec3(zero, state.shape_half_h, zero))
 
 
-def colliders(state: RigidBodyState):
+def colliders(state):
     """Rebuild world colliders as a (Sphere, Capsule) SoA pair.
 
-    Both batches cover all N bodies; ``shape_type`` selects which is live per
-    body.  Sphere centers are x; capsules run from x - d_half to x + d_half.
+    Both batches cover all N bodies; ``shape_type`` selects which is live.
+    Sphere centers are x; capsules run x - d_half .. x + d_half.
     """
     d_half = capsule_axis(state)
     spheres = Sphere(c=state.x, r=state.shape_r)
-    capsules = Capsule(a=state.x - d_half, d=2.0 * d_half, r=state.shape_r)
+    capsules = Capsule(a=state.x - d_half, d=d_half * 2.0, r=state.shape_r)
     return spheres, capsules
 
 
-def body_centers(state: RigidBodyState):
+def body_centers(state) -> Vec3:
     """Collider centers (== x for both shapes by construction)."""
     return state.x
 
@@ -184,8 +174,7 @@ def _np_quat_from_arc_y(d):
     v = np.cross(np.broadcast_to(y, dn.shape), dn)
     q = np.concatenate([w[..., None], v], axis=-1)
     anti = w < 1e-6
-    # antiparallel: 180 deg around x (perpendicular to y)
-    q[anti] = np.asarray([0.0, 1.0, 0.0, 0.0])
+    q[anti] = np.asarray([0.0, 1.0, 0.0, 0.0])  # pi around x
     q = q / np.linalg.norm(q, axis=-1, keepdims=True)
     return q.astype(np.float32)
 
@@ -195,11 +184,11 @@ class SceneBuilder:
 
     NOTE on inertia parity: mgf computes the "body-frame" inverse inertia
     from the collider in its *initial world orientation* and then also
-    rotates it by q each step (physics.rs:212 + 230-233) — for capsules
-    added with a non-y axis the initial rotation is applied twice.  We store
-    the canonical y-aligned tensor instead (the physically correct body
-    frame); divergence is documented here and only affects rotating-capsule
-    trajectories.
+    rotates it by q each step (physics.rs:212 + 230-233) — for capsules with
+    a non-y initial axis the rotation is applied twice.  We store the
+    canonical y-aligned tensor (the physically correct body frame);
+    divergence only affects rotating-capsule trajectories and is documented
+    here.
     """
 
     def __init__(self):
@@ -210,8 +199,7 @@ class SceneBuilder:
         """Vectorized sphere batch: centers (B,3); scalars broadcast."""
         centers = np.atleast_2d(np.asarray(centers, np.float32))
         b = centers.shape[0]
-        br = lambda s: np.broadcast_to(
-            np.asarray(s, np.float32), (b,)).copy()
+        br = lambda s: np.broadcast_to(np.asarray(s, np.float32), (b,)).copy()
         self._batches.append(dict(
             kind=np.full(b, SHAPE_SPHERE, np.int32), x=centers,
             q=np.tile(np.asarray([[1, 0, 0, 0]], np.float32), (b, 1)),
@@ -265,8 +253,7 @@ class SceneBuilder:
         n = x.shape[0]
 
         # inverse body inertia at the collider origin, vectorized
-        # (physics.rs:212: (collider - x).tensor(mass).invert()):
-        # spheres: diag(1 / (0.4 m r^2)); capsules: y-aligned closed form.
+        # (physics.rs:212): spheres diag(1/(0.4 m r^2)); capsules y-aligned
         inv_t = np.zeros((n, 3, 3), np.float32)
         sph = kind == SHAPE_SPHERE
         i_sph = 0.4 * mass * r * r
@@ -290,19 +277,20 @@ class SceneBuilder:
             inv_t[idx, 1, 1] = 1.0 / i_y
             inv_t[idx, 2, 2] = 1.0 / i_x
 
+        inv_m = mfrom(jnp.asarray(inv_t))
         return RigidBodyState(
-            x=jnp.asarray(x), q=jnp.asarray(q),
-            v=jnp.zeros((n, 3), jnp.float32),
-            omega=jnp.zeros((n, 3), jnp.float32),
-            force=jnp.asarray(g('gravity') * mass[:, None]),
-            torque=jnp.zeros((n, 3), jnp.float32),
+            x=vfrom(jnp.asarray(x)), q=qfrom(jnp.asarray(q)),
+            v=vfrom(jnp.zeros((n, 3), jnp.float32)),
+            omega=vfrom(jnp.zeros((n, 3), jnp.float32)),
+            force=vfrom(jnp.asarray(g('gravity') * mass[:, None])),
+            torque=vfrom(jnp.zeros((n, 3), jnp.float32)),
             restitution=jnp.asarray(g('restitution')),
             friction=jnp.asarray(g('friction')),
             inv_mass=jnp.asarray(1.0 / mass),
-            inv_moment_body=jnp.asarray(inv_t),
-            inv_moment=jnp.asarray(inv_t),
+            inv_moment_body=inv_m,
+            inv_moment=inv_m,
             shape_type=jnp.asarray(kind),
             shape_r=jnp.asarray(r),
             shape_half_h=jnp.asarray(half_h),
-            delta=jnp.zeros((n, 3), jnp.float32),
+            delta=vfrom(jnp.zeros((n, 3), jnp.float32)),
         )

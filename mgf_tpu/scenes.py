@@ -55,7 +55,7 @@ def _grid_positions(num, shift, y_base=10.0):
 
 
 def balls_scene(num: int = 11, with_dropped: bool = True,
-                solver: str = "parallel"):
+                solver: str = "rows"):
     """The balls demo scene. Returns (World, WorldConfig)."""
     b = SceneBuilder()
     rad = 0.5
@@ -73,7 +73,7 @@ def balls_scene(num: int = 11, with_dropped: bool = True,
     return world, cfg
 
 
-def capsules_scene(num: int = 11, solver: str = "parallel"):
+def capsules_scene(num: int = 11, solver: str = "rows"):
     """The capsules demo scene (capsules.rs:66-95)."""
     b = SceneBuilder()
     rad = 2.0
@@ -130,7 +130,7 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=20,
         shape_mode="mixed" if mixed else "spheres",
-        solver="parallel",
+        solver="rows",
         grid=GridConfig(cell_size=2.0, dim=128, bucket_cap=8),
         max_pairs=16, fatten=0.25)
     return world, cfg

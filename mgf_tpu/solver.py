@@ -2,27 +2,23 @@
 
 TPU-native counterpart of ``src/solver.rs``: warm-started sequential impulses
 with Baumgarte stabilization, restitution threshold, and two-axis friction
-(ContactConstraint, solver.rs:82-253).
+(ContactConstraint, solver.rs:82-253), in Vec3 component form.
 
 Two execution modes share the same per-point impulse math:
 
 * ``solve_sequential`` — a ``lax.scan`` over contact points inside each
-  iteration.  This reproduces mgf's Gauss-Seidel ordering exactly (solver
-  .rs:72-78 iterates constraints in insertion order, mutating velocities in
-  place) and is the parity path for tests and small scenes.
+  iteration; reproduces mgf's Gauss-Seidel ordering exactly (solver.rs:72-78)
+  and is the parity path for tests / small scenes.
 * ``solve_parallel`` — a Jacobi sweep with *mass splitting* (per-body inverse
   masses scaled by the body's contact count inside the effective-mass
   denominators; Tonge et al. 2012).  All contact points are solved
-  concurrently and velocity deltas are accumulated with segment sums — the
-  TPU-friendly formulation whose fixed points satisfy the same contact
-  complementarity conditions.
+  concurrently; velocity deltas are reduced with per-component segment sums.
 
 Friction-clamp policy: mgf's accumulator clamp is broken — solver.rs:226
 passes arguments to ``clamp`` in the wrong order and solver.rs:227 applies
 the *raw* lambda rather than the clamped delta, so reference friction acts
-unclamped (effectively infinite cone).  The default here is the textbook
-clamped-accumulator version; ``friction_mode="mgf"`` reproduces the
-reference's raw-lambda behavior for parity experiments.
+unclamped.  The default here is the textbook clamped accumulator;
+``friction_mode="mgf"`` reproduces the raw-lambda behavior.
 """
 
 from __future__ import annotations
@@ -33,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from mgf_tpu.manifold import Manifold
-from mgf_tpu.math3d import cross, dot, mat_vec, safe_div
+from mgf_tpu.math3d import (
+    Mat3, Vec3, cross, dot, mat_vec, safe_div,
+)
 
 # DefaultContactConstraintParams (solver.rs:276-279)
 PENETRATION_SLOP = 0.05
@@ -42,34 +40,34 @@ BAUMGARTE = 0.2
 
 class BodyView(NamedTuple):
     """Per-body quantities the solver reads (ConstrainedSet get,
-    physics.rs:272-304).  Arrays may include rows for static bodies: give
-    those inv_mass = 0, inv_moment = 0, restitution = 0 and they absorb
-    impulses without moving, exactly like RigidBodyRef::Static.
-    ``x`` must be the end-of-sweep position (x + delta, physics.rs:282).
-    """
-    x: jnp.ndarray           # (M, 3)
-    v: jnp.ndarray           # (M, 3)
-    omega: jnp.ndarray       # (M, 3)
-    restitution: jnp.ndarray  # (M,)
-    friction: jnp.ndarray    # (M,)
-    inv_mass: jnp.ndarray    # (M,)
-    inv_moment: jnp.ndarray  # (M, 3, 3)
+    physics.rs:272-304).  Rows with inv_mass = 0, inv_moment = 0,
+    restitution = 0 behave exactly like RigidBodyRef::Static.
+    ``x`` must be the end-of-sweep position (x + delta, physics.rs:282)."""
+    x: Vec3
+    v: Vec3
+    omega: Vec3
+    restitution: jnp.ndarray
+    friction: jnp.ndarray
+    inv_mass: jnp.ndarray
+    inv_moment: Mat3
 
 
 class ContactConstraints(NamedTuple):
     """Flat SoA of contact points ready to solve (ContactState,
     solver.rs:256-262, plus indices/geometry)."""
-    body_a: jnp.ndarray       # (C,) int32
-    body_b: jnp.ndarray       # (C,) int32
-    ra: jnp.ndarray           # (C, 3) contact point local to body a
-    rb: jnp.ndarray           # (C, 3)
-    normal: jnp.ndarray       # (C, 3)
-    tangent: jnp.ndarray      # (C, 2, 3)
-    friction: jnp.ndarray     # (C,) mixed sqrt(fa*fb) (solver.rs:126)
-    bias: jnp.ndarray         # (C,)
-    normal_mass: jnp.ndarray  # (C,)
-    tangent_mass: jnp.ndarray  # (C, 2)
-    valid: jnp.ndarray        # (C,) bool
+    body_a: jnp.ndarray    # (C,) int32
+    body_b: jnp.ndarray    # (C,) int32
+    ra: Vec3               # contact point local to body a
+    rb: Vec3
+    normal: Vec3
+    t1: Vec3               # friction tangents
+    t2: Vec3
+    friction: jnp.ndarray  # mixed sqrt(fa*fb) (solver.rs:126)
+    bias: jnp.ndarray
+    normal_mass: jnp.ndarray
+    tangent_mass1: jnp.ndarray
+    tangent_mass2: jnp.ndarray
+    valid: jnp.ndarray     # bool
 
 
 def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
@@ -77,25 +75,21 @@ def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
     """Precompute per-contact state (ContactConstraint::new,
     solver.rs:101-192), vectorized over a pair batch.
 
-    ``manifold`` fields have batch shape (P,) with a contact slot axis S;
-    the result is flattened to C = P*S points.  ``split_a``/``split_b`` are
-    optional (P,) mass-splitting factors (contact counts) for the parallel
-    solver; omit for exact reference effective masses.
+    ``manifold`` fields have batch shape (P,) with leading slot axis S; the
+    result is flattened to C = S*P points.  ``split_a``/``split_b`` are
+    optional (P,) mass-splitting factors for the parallel solver; omit for
+    exact reference effective masses.
     """
-    S = manifold.valid.shape[-1]
+    S = manifold.valid.shape[0]
 
-    def g(arr, idx):
-        return arr[idx]
-
-    xa, xb = g(bodies.x, body_a), g(bodies.x, body_b)
-    va, vb = g(bodies.v, body_a), g(bodies.v, body_b)
-    oa, ob = g(bodies.omega, body_a), g(bodies.omega, body_b)
-    ima, imb = g(bodies.inv_mass, body_a), g(bodies.inv_mass, body_b)
-    Ia, Ib = g(bodies.inv_moment, body_a), g(bodies.inv_moment, body_b)
-    restitution = jnp.maximum(g(bodies.restitution, body_a),
-                              g(bodies.restitution, body_b))
-    friction = jnp.sqrt(g(bodies.friction, body_a)
-                        * g(bodies.friction, body_b))
+    xa, xb = bodies.x[body_a], bodies.x[body_b]
+    va, vb = bodies.v[body_a], bodies.v[body_b]
+    oa, ob = bodies.omega[body_a], bodies.omega[body_b]
+    ima, imb = bodies.inv_mass[body_a], bodies.inv_mass[body_b]
+    Ia, Ib = bodies.inv_moment[body_a], bodies.inv_moment[body_b]
+    restitution = jnp.maximum(bodies.restitution[body_a],
+                              bodies.restitution[body_b])
+    friction = jnp.sqrt(bodies.friction[body_a] * bodies.friction[body_b])
 
     if split_a is None:
         split_a = jnp.ones_like(ima)
@@ -103,13 +97,16 @@ def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
         split_b = jnp.ones_like(imb)
     ima_s = ima * split_a
     imb_s = imb * split_b
-    Ia_s = Ia * split_a[..., None, None]
-    Ib_s = Ib * split_b[..., None, None]
+    Ia_s = Ia * split_a
+    Ib_s = Ib * split_b
+
+    n = manifold.normal
+    t1 = manifold.t1
+    t2 = manifold.t2
 
     def per_slot(s):
-        ra = manifold.local_a[..., s, :]
-        rb = manifold.local_b[..., s, :]
-        n = manifold.normal
+        ra = manifold.local_a[s]
+        rb = manifold.local_b[s]
         ra_cn = cross(ra, n)
         rb_cn = cross(rb, n)
         pen = dot((rb + xb) - (ra + xa), n)
@@ -121,59 +118,53 @@ def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
         normal_mass = safe_div(
             1.0, ima_s + dot(ra_cn, mat_vec(Ia_s, ra_cn))
             + imb_s + dot(rb_cn, mat_vec(Ib_s, rb_cn)))
-        tms = []
-        for i in range(2):
-            t = manifold.tangent[..., i, :]
+
+        def tm(t):
             ra_ct = cross(ra, t)
             rb_ct = cross(rb, t)
-            tms.append(safe_div(
+            return safe_div(
                 1.0, ima_s + dot(ra_ct, mat_vec(Ia_s, ra_ct))
-                + imb_s + dot(rb_ct, mat_vec(Ib_s, rb_ct))))
-        return ra, rb, bias, normal_mass, jnp.stack(tms, axis=-1)
+                + imb_s + dot(rb_ct, mat_vec(Ib_s, rb_ct)))
+
+        return ra, rb, bias, normal_mass, tm(t1), tm(t2)
 
     slots = [per_slot(s) for s in range(S)]
-    stack = lambda i: jnp.stack([sl[i] for sl in slots], axis=1)
 
-    def flat(a):
-        return a.reshape((-1,) + a.shape[2:])
+    def cat(i):
+        vals = [sl[i] for sl in slots]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *vals)
 
-    rep = lambda a: flat(jnp.broadcast_to(
-        jnp.expand_dims(a, 1), (a.shape[0], S) + a.shape[1:]))
+    rep = lambda a: jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * S, axis=0), a)
 
     return ContactConstraints(
         body_a=rep(body_a.astype(jnp.int32)),
         body_b=rep(body_b.astype(jnp.int32)),
-        ra=flat(stack(0)),
-        rb=flat(stack(1)),
-        normal=rep(manifold.normal),
-        tangent=rep(manifold.tangent),
+        ra=cat(0), rb=cat(1),
+        normal=rep(n), t1=rep(t1), t2=rep(t2),
         friction=rep(friction),
-        bias=flat(stack(2)),
-        normal_mass=flat(stack(3)),
-        tangent_mass=flat(stack(4)),
+        bias=cat(2), normal_mass=cat(3),
+        tangent_mass1=cat(4), tangent_mass2=cat(5),
         valid=manifold.valid.reshape(-1),
     )
 
 
-def _friction_impulses(con, i_or_all, dv, acc_t, friction_mode, acc_n):
-    """Both tangent-axis lambdas from a single dv (solver.rs:220-232)."""
+def _friction_impulses(con, dv: Vec3, acc_t1, acc_t2, friction_mode, acc_n):
+    """Both tangent-axis lambdas from a single dv (solver.rs:220-232).
+    Returns (applied1, applied2, new_acc1, new_acc2)."""
+    lam1 = -dot(dv, con.t1) * con.tangent_mass1
+    lam2 = -dot(dv, con.t2) * con.tangent_mass2
     if friction_mode == "mgf":
         # reference applies the raw lambda each sweep (broken clamp)
-        lam0 = -dot(dv, con.tangent[..., 0, :]) * con.tangent_mass[..., 0]
-        lam1 = -dot(dv, con.tangent[..., 1, :]) * con.tangent_mass[..., 1]
-        applied = jnp.stack([lam0, lam1], axis=-1)
-        new_acc = acc_t + applied
-    else:
-        max_l = con.friction * acc_n
-        lam0 = -dot(dv, con.tangent[..., 0, :]) * con.tangent_mass[..., 0]
-        lam1 = -dot(dv, con.tangent[..., 1, :]) * con.tangent_mass[..., 1]
-        lam = jnp.stack([lam0, lam1], axis=-1)
-        new_acc = jnp.clip(acc_t + lam, -max_l[..., None], max_l[..., None])
-        applied = new_acc - acc_t
-    return applied, new_acc
+        return lam1, lam2, acc_t1 + lam1, acc_t2 + lam2
+    max_l = con.friction * acc_n
+    new1 = jnp.clip(acc_t1 + lam1, -max_l, max_l)
+    new2 = jnp.clip(acc_t2 + lam2, -max_l, max_l)
+    return new1 - acc_t1, new2 - acc_t2, new1, new2
 
 
-def _normal_impulse(con, dv, acc_n):
+def _normal_impulse(con, dv: Vec3, acc_n):
     """Projected normal impulse (solver.rs:236-240)."""
     vn = dot(dv, con.normal)
     lam = con.normal_mass * (-vn + con.bias)
@@ -184,16 +175,17 @@ def _normal_impulse(con, dv, acc_n):
 def solve_sequential(con: ContactConstraints, bodies: BodyView, iters: int,
                      friction_mode: str = "textbook"):
     """Gauss-Seidel sweeps in point order — reference-exact semantics.
-
-    Returns updated (v, omega) arrays.  O(iters * C) sequential steps: use
-    only for tests / small scenes.
-    """
+    O(iters * C) sequential steps: tests / small scenes only."""
     C = con.body_a.shape[0]
-    v0, o0 = bodies.v, bodies.omega
     inv_mass, inv_moment = bodies.inv_mass, bodies.inv_moment
 
+    def vset(v: Vec3, i, val: Vec3, keep) -> Vec3:
+        return Vec3(v.x.at[i].set(jnp.where(keep, val.x, v.x[i])),
+                    v.y.at[i].set(jnp.where(keep, val.y, v.y[i])),
+                    v.z.at[i].set(jnp.where(keep, val.z, v.z[i])))
+
     def point(carry, i):
-        v, omega, acc_n, acc_t = carry
+        v, omega, acc_n, acc_t1, acc_t2 = carry
         a = con.body_a[i]
         b = con.body_b[i]
         ok = con.valid[i]
@@ -204,73 +196,72 @@ def solve_sequential(con: ContactConstraints, bodies: BodyView, iters: int,
         Ia, Ib = inv_moment[a], inv_moment[b]
 
         dv = vb + cross(ob, ci.rb) - va - cross(oa, ci.ra)
-        f_applied, acc_t_i = _friction_impulses(ci, None, dv, acc_t[i],
+        f1, f2, a_t1, a_t2 = _friction_impulses(ci, dv, acc_t1[i], acc_t2[i],
                                                 friction_mode, acc_n[i])
-        imp_f = (ci.tangent[0] * f_applied[0] + ci.tangent[1] * f_applied[1])
-        va = va - imp_f * ima
-        oa = oa - mat_vec(Ia, cross(ci.ra, imp_f))
-        vb = vb + imp_f * imb
-        ob = ob + mat_vec(Ib, cross(ci.rb, imp_f))
+        imp = ci.t1 * f1 + ci.t2 * f2
+        va = va - imp * ima
+        oa = oa - mat_vec(Ia, cross(ci.ra, imp))
+        vb = vb + imp * imb
+        ob = ob + mat_vec(Ib, cross(ci.rb, imp))
 
         dv = vb + cross(ob, ci.rb) - va - cross(oa, ci.ra)
-        n_applied, acc_n_i = _normal_impulse(ci, dv, acc_n[i])
-        imp_n = ci.normal * n_applied
-        va = va - imp_n * ima
-        oa = oa - mat_vec(Ia, cross(ci.ra, imp_n))
-        vb = vb + imp_n * imb
-        ob = ob + mat_vec(Ib, cross(ci.rb, imp_n))
+        fn, a_n = _normal_impulse(ci, dv, acc_n[i])
+        imp = ci.normal * fn
+        va = va - imp * ima
+        oa = oa - mat_vec(Ia, cross(ci.ra, imp))
+        vb = vb + imp * imb
+        ob = ob + mat_vec(Ib, cross(ci.rb, imp))
 
-        keep = lambda new, old: jnp.where(ok, new, old)
-        v = v.at[a].set(keep(va, v[a])).at[b].set(keep(vb, v[b]))
-        # (a == b cannot occur for valid contacts)
-        omega = omega.at[a].set(keep(oa, omega[a])).at[b].set(keep(ob,
-                                                                  omega[b]))
-        acc_n = acc_n.at[i].set(jnp.where(ok, acc_n_i, acc_n[i]))
-        acc_t = acc_t.at[i].set(jnp.where(ok, acc_t_i, acc_t[i]))
-        return (v, omega, acc_n, acc_t), None
+        v = vset(vset(v, a, va, ok), b, vb, ok)
+        omega = vset(vset(omega, a, oa, ok), b, ob, ok)
+        acc_n = acc_n.at[i].set(jnp.where(ok, a_n, acc_n[i]))
+        acc_t1 = acc_t1.at[i].set(jnp.where(ok, a_t1, acc_t1[i]))
+        acc_t2 = acc_t2.at[i].set(jnp.where(ok, a_t2, acc_t2[i]))
+        return (v, omega, acc_n, acc_t1, acc_t2), None
 
     def sweep(carry, _):
         carry, _ = jax.lax.scan(point, carry, jnp.arange(C))
         return carry, None
 
-    init = (v0, o0, jnp.zeros((C,), v0.dtype), jnp.zeros((C, 2), v0.dtype))
-    (v, omega, _, _), _ = jax.lax.scan(sweep, init, None, length=iters)
+    zero = jnp.zeros((C,), jnp.float32)
+    init = (bodies.v, bodies.omega, zero, zero, zero)
+    (v, omega, _, _, _), _ = jax.lax.scan(sweep, init, None, length=iters)
     return v, omega
 
 
-def contact_counts(con: ContactConstraints, num_bodies: int):
+def contact_counts(valid, body_a, body_b, num_bodies: int):
     """Number of valid contact points touching each body (mass splitting)."""
-    ones = con.valid.astype(jnp.float32)
-    ca = jax.ops.segment_sum(ones, con.body_a, num_segments=num_bodies)
-    cb = jax.ops.segment_sum(ones, con.body_b, num_segments=num_bodies)
+    ones = valid.astype(jnp.float32)
+    ca = jax.ops.segment_sum(ones, body_a, num_segments=num_bodies)
+    cb = jax.ops.segment_sum(ones, body_b, num_segments=num_bodies)
     return jnp.maximum(ca + cb, 1.0)
+
+
+def _seg_vec(v: Vec3, ids, m) -> Vec3:
+    return Vec3(jax.ops.segment_sum(v.x, ids, num_segments=m),
+                jax.ops.segment_sum(v.y, ids, num_segments=m),
+                jax.ops.segment_sum(v.z, ids, num_segments=m))
 
 
 def solve_parallel(con: ContactConstraints, bodies: BodyView, iters: int,
                    friction_mode: str = "textbook"):
     """Mass-split Jacobi sweeps — fully parallel over contact points.
 
-    ``con`` must have been built with split factors = contact counts for
-    convergence (see :func:`contact_counts`).  Each iteration does a friction
-    phase and a normal phase, each a gather -> impulse -> segment-sum scatter.
+    ``con`` must be built with split factors = contact counts for
+    convergence.  Each iteration: a friction phase and a normal phase, each a
+    gather -> impulse -> per-component segment-sum scatter.
     """
-    M = bodies.v.shape[0]
+    M = bodies.inv_mass.shape[0]
     inv_mass, inv_moment = bodies.inv_mass, bodies.inv_moment
+    okf = con.valid.astype(jnp.float32)
 
-    ok = con.valid
-    okf = ok.astype(bodies.v.dtype)[..., None]
-
-    def apply_impulse(v, omega, imp):
-        """Scatter +-impulse to the two bodies of every contact point."""
+    def apply_impulse(v, omega, imp: Vec3):
         imp = imp * okf
-        dva = jax.ops.segment_sum(-imp, con.body_a, num_segments=M)
-        dvb = jax.ops.segment_sum(imp, con.body_b, num_segments=M)
-        v = v + (dva + dvb) * inv_mass[..., None]
-        la = jax.ops.segment_sum(-cross(con.ra, imp), con.body_a,
-                                 num_segments=M)
-        lb = jax.ops.segment_sum(cross(con.rb, imp), con.body_b,
-                                 num_segments=M)
-        omega = omega + mat_vec(inv_moment, la + lb)
+        dv = (_seg_vec(-imp, con.body_a, M) + _seg_vec(imp, con.body_b, M))
+        v = v + dv * inv_mass
+        dl = (_seg_vec(-cross(con.ra, imp), con.body_a, M)
+              + _seg_vec(cross(con.rb, imp), con.body_b, M))
+        omega = omega + mat_vec(inv_moment, dl)
         return v, omega
 
     def rel_vel(v, omega):
@@ -279,22 +270,223 @@ def solve_parallel(con: ContactConstraints, bodies: BodyView, iters: int,
         return (vb + cross(ob, con.rb)) - (va + cross(oa, con.ra))
 
     def sweep(carry, _):
-        v, omega, acc_n, acc_t = carry
+        v, omega, acc_n, acc_t1, acc_t2 = carry
         dv = rel_vel(v, omega)
-        f_applied, acc_t = _friction_impulses(con, None, dv, acc_t,
-                                              friction_mode, acc_n)
-        imp_f = (con.tangent[:, 0, :] * f_applied[:, 0:1]
-                 + con.tangent[:, 1, :] * f_applied[:, 1:2])
-        v, omega = apply_impulse(v, omega, imp_f)
+        f1, f2, acc_t1, acc_t2 = _friction_impulses(con, dv, acc_t1, acc_t2,
+                                                    friction_mode, acc_n)
+        v, omega = apply_impulse(v, omega, con.t1 * f1 + con.t2 * f2)
 
         dv = rel_vel(v, omega)
-        n_applied, acc_n = _normal_impulse(con, dv, acc_n)
-        imp_n = con.normal * n_applied[..., None]
-        v, omega = apply_impulse(v, omega, imp_n)
-        return (v, omega, acc_n, acc_t), None
+        fn, acc_n = _normal_impulse(con, dv, acc_n)
+        v, omega = apply_impulse(v, omega, con.normal * fn)
+        return (v, omega, acc_n, acc_t1, acc_t2), None
 
     C = con.body_a.shape[0]
-    init = (bodies.v, bodies.omega, jnp.zeros((C,), bodies.v.dtype),
-            jnp.zeros((C, 2), bodies.v.dtype))
-    (v, omega, _, _), _ = jax.lax.scan(sweep, init, None, length=iters)
+    zero = jnp.zeros((C,), jnp.float32)
+    init = (bodies.v, bodies.omega, zero, zero, zero)
+    (v, omega, _, _, _), _ = jax.lax.scan(sweep, init, None, length=iters)
     return v, omega
+
+
+# ---------------------------------------------------------------------------
+# Row-structured scatter-free parallel solver
+# ---------------------------------------------------------------------------
+#
+# The flat ContactConstraints form above needs per-iteration gathers by
+# body_a/body_b AND segment-sum scatters — both are scalar-bound on TPU and
+# dominate the step.  The row form eliminates them: every body owns a row of
+# R constraint slots (its broadphase partners + terrain triangles), each pair
+# appears TWICE (once per body, mirrored), and a solver iteration is
+#
+#     one gather of the packed (8, M) body state by the (R, N) partner
+#     matrix + elementwise impulse math + a sum over the R axis
+#
+# — no scatter at all.  The twin copies of a pair compute bit-identical
+# impulses from the same global state, so both sides receive consistent
+# updates; with mass splitting (counts in the effective masses) the
+# iteration converges like the flat Jacobi.  Measured on v5e this is ~100x
+# faster than the segment-sum formulation.
+
+class RowConstraints(NamedTuple):
+    """Per-body rows of contact-point slots; all arrays (R, N) (slot-major so
+    the body axis N is the TPU lane dimension)."""
+    partner: jnp.ndarray   # (R, N) int32 partner body (N_static for terrain)
+    ra: Vec3               # contact point local to the row body
+    rb: Vec3               # contact point local to the partner
+    normal: Vec3
+    t1: Vec3
+    t2: Vec3
+    friction: jnp.ndarray
+    bias: jnp.ndarray
+    normal_mass: jnp.ndarray
+    tangent_mass1: jnp.ndarray
+    tangent_mass2: jnp.ndarray
+    valid: jnp.ndarray     # (R, N) bool
+
+
+def pack_solver_bodies(bodies: BodyView, counts=None):
+    """Pack the per-body quantities the constraint precompute reads into
+    three (M, 8) tables so the (R, N)-indexed reads are 3 wide gathers
+    instead of ~21 scalar ones (TPU gather cost is per index).
+
+    A: x.xyz  v.xyz  restitution friction
+    B: omega.xyz  inv_mass  count  _ _ _
+    C: inverse inertia (symmetric): Ixx Ixy Ixz Iyy Iyz Izz _ _
+    """
+    z = jnp.zeros_like(bodies.inv_mass)
+    cnt = counts if counts is not None else jnp.ones_like(bodies.inv_mass)
+    A = jnp.stack([bodies.x.x, bodies.x.y, bodies.x.z,
+                   bodies.v.x, bodies.v.y, bodies.v.z,
+                   bodies.restitution, bodies.friction], axis=-1)
+    B = jnp.stack([bodies.omega.x, bodies.omega.y, bodies.omega.z,
+                   bodies.inv_mass, cnt, z, z, z], axis=-1)
+    I = bodies.inv_moment
+    C = jnp.stack([I.xx, I.xy, I.xz, I.yy, I.yz, I.zz, z, z], axis=-1)
+    return A, B, C
+
+
+def _unpack_solver_rows(A, B, C, idx):
+    a = A[idx]
+    b = B[idx]
+    c = C[idx]
+    x = Vec3(a[..., 0], a[..., 1], a[..., 2])
+    v = Vec3(a[..., 3], a[..., 4], a[..., 5])
+    restitution = a[..., 6]
+    friction = a[..., 7]
+    omega = Vec3(b[..., 0], b[..., 1], b[..., 2])
+    inv_mass = b[..., 3]
+    count = b[..., 4]
+    I = Mat3(c[..., 0], c[..., 1], c[..., 2],
+             c[..., 1], c[..., 3], c[..., 4],
+             c[..., 2], c[..., 4], c[..., 5])
+    return x, v, omega, restitution, friction, inv_mass, count, I
+
+
+def build_row_constraints(bodies: BodyView, partner, manifold: Manifold,
+                          dt, counts=None, self_rows=None) -> RowConstraints:
+    """Precompute per-slot state for the row solver.
+
+    ``partner`` is (R, N) int32; ``manifold`` fields are already shaped
+    (R, N) (single slot axis).  ``counts`` (M,) enables mass splitting.
+    ``self_rows`` (N,) gives the global body index of each column (defaults
+    to 0..N-1); the self side is read with broadcasts, not gathers.
+    """
+    n = partner.shape[1]
+    A, B, C = pack_solver_bodies(bodies, counts)
+
+    if self_rows is None:
+        # self side: plain slices broadcast over the slot axis — no gather
+        sl = lambda t: jax.tree_util.tree_map(lambda g: g[:n][None, :], t)
+        xa = sl(bodies.x)
+        va, oa = sl(bodies.v), sl(bodies.omega)
+        ima = bodies.inv_mass[:n][None, :]
+        Ia = sl(bodies.inv_moment)
+        ra_ = bodies.restitution[:n][None, :]
+        fa = bodies.friction[:n][None, :]
+        sa = (counts[:n][None, :] if counts is not None else 1.0)
+    else:
+        (xa, va, oa, ra_, fa, ima, sa, Ia) = _unpack_solver_rows(
+            A, B, C, self_rows[None, :])
+
+    (xb, vb, ob, rb_, fb, imb, sb, Ib) = _unpack_solver_rows(A, B, C,
+                                                             partner)
+
+    restitution = jnp.maximum(ra_, rb_)
+    friction = jnp.sqrt(fa * fb)
+
+    if counts is not None:
+        ima = ima * sa
+        imb = imb * sb
+        Ia = Ia * sa
+        Ib = Ib * sb
+
+    ra = manifold.local_a
+    rb = manifold.local_b
+    nrm = manifold.normal
+    t1, t2 = manifold.t1, manifold.t2
+
+    ra_cn = cross(ra, nrm)
+    rb_cn = cross(rb, nrm)
+    pen = dot((rb + xb) - (ra + xa), nrm)
+    dv = vb + cross(ob, rb) - va - cross(oa, ra)
+    rel_v = dot(dv, nrm)
+    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
+                                        pen + PENETRATION_SLOP)
+            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+    normal_mass = safe_div(
+        1.0, ima + dot(ra_cn, mat_vec(Ia, ra_cn))
+        + imb + dot(rb_cn, mat_vec(Ib, rb_cn)))
+
+    def tm(t):
+        ra_ct = cross(ra, t)
+        rb_ct = cross(rb, t)
+        return safe_div(
+            1.0, ima + dot(ra_ct, mat_vec(Ia, ra_ct))
+            + imb + dot(rb_ct, mat_vec(Ib, rb_ct)))
+
+    return RowConstraints(
+        partner=partner, ra=ra, rb=rb, normal=nrm, t1=t1, t2=t2,
+        friction=friction, bias=bias, normal_mass=normal_mass,
+        tangent_mass1=tm(t1), tangent_mass2=tm(t2), valid=manifold.valid)
+
+
+def pack_body_state(v: Vec3, omega: Vec3):
+    """(8, M) packed dynamic state: rows vx vy vz ox oy oz pad pad."""
+    z = jnp.zeros_like(v.x)
+    return jnp.stack([v.x, v.y, v.z, omega.x, omega.y, omega.z, z, z],
+                     axis=0)
+
+
+def unpack_body_state(S):
+    return (Vec3(S[0], S[1], S[2]), Vec3(S[3], S[4], S[5]))
+
+
+def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
+               inv_moment: Mat3, iters: int,
+               friction_mode: str = "textbook", two_phase: bool = True):
+    """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
+    rows; only the first N (= rc.partner.shape[1]) bodies are updated.
+    Returns updated (v, omega) for all M rows (statics unchanged)."""
+    n = rc.partner.shape[1]
+    S = pack_body_state(v, omega)
+    ima = inv_mass[:n]
+    Ia = inv_moment[:n]
+
+    def rel_vel(S):
+        g = S[:, rc.partner]                        # (8, R, N) one gather
+        vb = Vec3(g[0], g[1], g[2])
+        ob = Vec3(g[3], g[4], g[5])
+        va = Vec3(S[0, :n][None], S[1, :n][None], S[2, :n][None])
+        oa = Vec3(S[3, :n][None], S[4, :n][None], S[5, :n][None])
+        return (vb + cross(ob, rc.rb)) - (va + cross(oa, rc.ra))
+
+    def apply_self(S, imp: Vec3):
+        """Row bodies receive -impulse (self is side a)."""
+        imp = Vec3(imp.x * rc.valid, imp.y * rc.valid, imp.z * rc.valid)
+        lin = Vec3(-imp.x.sum(0), -imp.y.sum(0), -imp.z.sum(0)) * ima
+        ang_pt = -cross(rc.ra, imp)
+        ang = mat_vec(Ia, Vec3(ang_pt.x.sum(0), ang_pt.y.sum(0),
+                               ang_pt.z.sum(0)))
+        return S.at[:6, :n].add(jnp.stack(
+            [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z], axis=0))
+
+    def sweep(carry, _):
+        S, acc_n, acc_t1, acc_t2 = carry
+        dv = rel_vel(S)
+        f1, f2, acc_t1, acc_t2 = _friction_impulses(rc, dv, acc_t1, acc_t2,
+                                                    friction_mode, acc_n)
+        if two_phase:
+            S = apply_self(S, rc.t1 * f1 + rc.t2 * f2)
+            dv = rel_vel(S)
+            fn, acc_n = _normal_impulse(rc, dv, acc_n)
+            S = apply_self(S, rc.normal * fn)
+        else:
+            fn, acc_n = _normal_impulse(rc, dv, acc_n)
+            S = apply_self(S, rc.t1 * f1 + rc.t2 * f2 + rc.normal * fn)
+        return (S, acc_n, acc_t1, acc_t2), None
+
+    zero = jnp.zeros(rc.valid.shape, jnp.float32)
+    (S, _, _, _), _ = jax.lax.scan(
+        sweep, (S, zero, zero, zero), None, length=iters)
+    v_out, o_out = unpack_body_state(S)
+    return v_out, o_out

@@ -5,15 +5,15 @@ TPU-native counterpart of ``mgf_demo/world.rs:227-294`` (``World::step``):
     complete_motion -> integrate -> broadphase -> narrowphase ->
     manifolds -> contact constraints -> impulse solver
 
-The reference walks a pointer BVH per body and pushes constraints into a
-growable solver; here every stage is a fixed-shape array program: the
-broadphase is a rebuilt cell grid (:mod:`mgf_tpu.broadphase`), candidate
-pairs live in a dense (N, max_pairs) partner matrix, the narrowphase runs
-vmapped over that matrix, and the solver consumes one flat constraint SoA.
-Static terrain is a triangle soup tested densely (the demo terrain has 10
-triangles, world.rs:140-149); terrain impulses sink into a virtual static
-body row with zero inverse mass — exactly ``RigidBodyRef::Static``
-(physics.rs:289-302).
+Where the reference walks a pointer BVH per body and pushes constraints into
+a growable solver, every stage here is a fixed-shape array program in Vec3
+component form: the broadphase is a rebuilt cell grid, candidate pairs live
+in a dense (N, max_pairs) partner matrix, the narrowphase runs natively
+batched over the flattened pair list, and the solver consumes one flat
+constraint SoA.  Static terrain is a triangle soup tested densely (the demo
+terrain has 10 triangles, world.rs:140-149); terrain impulses sink into a
+virtual static body row with zero inverse mass — exactly
+``RigidBodyRef::Static`` (physics.rs:289-302).
 """
 
 from __future__ import annotations
@@ -35,16 +35,16 @@ from mgf_tpu.collision import (
     contact_sphere_moving_sphere, contact_stack,
     contact_triangle_moving_capsule, contact_triangle_moving_sphere,
 )
-from mgf_tpu.geom import Capsule, Sphere, Triangle
+from mgf_tpu.geom import AABB, Capsule, Sphere, Triangle
 from mgf_tpu.manifold import Manifold, prune
-from mgf_tpu.math3d import where_vec
+from mgf_tpu.math3d import Mat3, Quat, Vec3, vfrom, where_vec
 from mgf_tpu.physics import (
-    SHAPE_CAPSULE, SHAPE_SPHERE, RigidBodyState, capsule_axis,
-    complete_motion, colliders, integrate,
+    SHAPE_CAPSULE, SHAPE_SPHERE, RigidBodyState, complete_motion, colliders,
+    integrate,
 )
 from mgf_tpu.solver import (
-    BodyView, ContactConstraints, build_constraints, contact_counts,
-    solve_parallel, solve_sequential,
+    BodyView, ContactConstraints, build_constraints, build_row_constraints,
+    solve_parallel, solve_rows, solve_sequential,
 )
 
 
@@ -57,42 +57,46 @@ class WorldConfig(NamedTuple):
     max_pairs: int = 16              # partner slots per body
     fatten: float = 0.25             # fat-proxy margin (world.rs:181)
     shape_mode: str = "spheres"      # "spheres" | "capsules" | "mixed"
-    solver: str = "parallel"         # "parallel" | "sequential"
+    solver: str = "rows"             # "rows" | "parallel" | "sequential"
     friction_mode: str = "textbook"  # see solver.py docstring
+    two_phase: bool = True           # rows solver: friction/normal phases
 
 
 class World(NamedTuple):
     """Dynamic world state pytree."""
     bodies: RigidBodyState
-    terrain: Triangle        # (T,) triangle soup in world space
-    terrain_center: jnp.ndarray  # (3,) Mesh::center (mesh.rs:89-91)
+    terrain: Triangle        # triangle soup in world space, Vec3 (T,)
+    terrain_center: Vec3
 
 
 def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
                terrain_center=(0.0, 0.0, 0.0)) -> World:
     """Assemble a world; terrain given as (V, 3) vertices + (T, 3) faces."""
     if terrain_verts is None:
-        tri = Triangle(a=jnp.zeros((0, 3)), b=jnp.zeros((0, 3)),
-                       c=jnp.zeros((0, 3)))
+        z = jnp.zeros((0,), jnp.float32)
+        v0 = Vec3(z, z, z)
+        tri = Triangle(a=v0, b=v0, c=v0)
     else:
-        tv = jnp.asarray(terrain_verts, jnp.float32)
+        tv = np.asarray(terrain_verts, np.float32)
         tf = np.asarray(terrain_faces, np.int32)
-        tri = Triangle(a=tv[tf[:, 0]], b=tv[tf[:, 1]], c=tv[tf[:, 2]])
+        tri = Triangle(a=vfrom(jnp.asarray(tv[tf[:, 0]])),
+                       b=vfrom(jnp.asarray(tv[tf[:, 1]])),
+                       c=vfrom(jnp.asarray(tv[tf[:, 2]])))
     return World(bodies=bodies, terrain=tri,
-                 terrain_center=jnp.asarray(terrain_center, jnp.float32))
+                 terrain_center=vfrom(jnp.asarray(terrain_center,
+                                                  jnp.float32)))
 
 
 # ---------------------------------------------------------------------------
-# narrowphase dispatch over the partner matrix
+# narrowphase dispatch over the flattened pair list
 # ---------------------------------------------------------------------------
 
 class ShapeView(NamedTuple):
     """The slice of body state the narrowphase reads.  In the sharded step
-    this is assembled from all-gathered (global) arrays while the rest of
-    the state stays device-local."""
-    x: jnp.ndarray
-    q: jnp.ndarray
-    delta: jnp.ndarray
+    this is assembled from all-gathered (global) arrays."""
+    x: Vec3
+    q: Quat
+    delta: Vec3
     shape_type: jnp.ndarray
     shape_r: jnp.ndarray
     shape_half_h: jnp.ndarray
@@ -104,105 +108,150 @@ def shape_view(state: RigidBodyState) -> ShapeView:
                      shape_half_h=state.shape_half_h)
 
 
-def _pair_contact(cfg: WorldConfig, state, i, j) -> Contact:
-    """Contact slots (2, ...) for body pair (receiver i, argument j).
+class PackedShapes(NamedTuple):
+    """Per-body shape data packed for single wide gathers (TPU gathers cost
+    per index: fetching one 8-wide row beats eight scalar gathers)."""
+    p8: jnp.ndarray          # (N, 8): x y z dx dy dz r half_h
+    q4: jnp.ndarray          # (N, 4): quaternion wxyz (capsule frames)
+    shape_type: jnp.ndarray  # (N,)
 
-    Receiver/argument matches the reference's loop: the outer body queries
-    the broadphase and collides against earlier bodies (world.rs:260-275).
-    ``state`` may be a RigidBodyState or a ShapeView.
-    """
-    spheres, capsules = colliders(state)
-    pick = lambda arr, idx: jax.tree_util.tree_map(lambda x: x[idx], arr)
-    sa, sb = pick(spheres, i), pick(spheres, j)
-    ca, cb = pick(capsules, i), pick(capsules, j)
-    va, vb = state.delta[i], state.delta[j]
 
+class GatheredShapes(NamedTuple):
+    """One side of a pair batch after the gather."""
+    x: Vec3
+    delta: Vec3
+    sphere: Sphere
+    capsule: Capsule
+    shape_type: jnp.ndarray
+
+
+def pack_shapes(sv: ShapeView) -> PackedShapes:
+    p8 = jnp.stack([sv.x.x, sv.x.y, sv.x.z,
+                    sv.delta.x, sv.delta.y, sv.delta.z,
+                    sv.shape_r, sv.shape_half_h], axis=-1)
+    q4 = jnp.stack([sv.q.w, sv.q.x, sv.q.y, sv.q.z], axis=-1)
+    return PackedShapes(p8=p8, q4=q4, shape_type=sv.shape_type)
+
+
+def gather_shapes(cfg: WorldConfig, ps: PackedShapes, idx) -> GatheredShapes:
+    from mgf_tpu.math3d import Quat, qrotate
+    g = ps.p8[idx]
+    x = Vec3(g[..., 0], g[..., 1], g[..., 2])
+    delta = Vec3(g[..., 3], g[..., 4], g[..., 5])
+    r = g[..., 6]
+    sphere = Sphere(c=x, r=r)
+    if cfg.shape_mode == "spheres":
+        capsule = Capsule(a=x, d=Vec3(r * 0, r * 0, r * 0), r=r)
+        stype = jnp.zeros_like(idx)
+    else:
+        q = ps.q4[idx]
+        hh = g[..., 7]
+        zero = jnp.zeros_like(hh)
+        d_half = qrotate(Quat(q[..., 0], q[..., 1], q[..., 2], q[..., 3]),
+                         Vec3(zero, hh, zero))
+        capsule = Capsule(a=x - d_half, d=d_half * 2.0, r=r)
+        stype = (ps.shape_type[idx] if cfg.shape_mode == "mixed"
+                 else jnp.ones_like(idx))
+    return GatheredShapes(x=x, delta=delta, sphere=sphere, capsule=capsule,
+                          shape_type=stype)
+
+
+def _pair_contact(cfg: WorldConfig, ga: GatheredShapes,
+                  gb: GatheredShapes) -> Contact:
+    """Contact slots (2, P) for body pairs (receiver a, argument b), natively
+    batched.  Receiver/argument matches the reference's loop: the outer body
+    collides against its broadphase partners (world.rs:260-275)."""
     def two_slot(c: Contact) -> Contact:
-        miss = c._replace(valid=jnp.zeros_like(c.valid))
-        return contact_stack([c, miss])
+        return contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
 
+    va, vb = ga.delta, gb.delta
     if cfg.shape_mode == "spheres":
         return two_slot(contact_moving_moving(
-            contact_sphere_moving_sphere, sa, va, sb, vb))
+            contact_sphere_moving_sphere, ga.sphere, va, gb.sphere, vb))
     if cfg.shape_mode == "capsules":
         return two_slot(contact_moving_moving(
-            contact_capsule_moving_capsule, ca, va, cb, vb))
+            contact_capsule_moving_capsule, ga.capsule, va, gb.capsule, vb))
 
-    # mixed: evaluate all four type pairs, select by (type_i, type_j)
-    ti = state.shape_type[i]
-    tj = state.shape_type[j]
-    c_ss = contact_moving_moving(contact_sphere_moving_sphere, sa, va, sb, vb)
+    # mixed: evaluate all four type pairs, select by (type_a, type_b)
+    c_ss = contact_moving_moving(contact_sphere_moving_sphere,
+                                 ga.sphere, va, gb.sphere, vb)
     c_cc = contact_moving_moving(contact_capsule_moving_capsule,
-                                 ca, va, cb, vb)
+                                 ga.capsule, va, gb.capsule, vb)
     c_cs = contact_moving_moving(contact_capsule_moving_sphere,
-                                 ca, va, sb, vb)
+                                 ga.capsule, va, gb.sphere, vb)
     c_sc = contact_moving_moving(contact_sphere_moving_capsule,
-                                 sa, va, cb, vb)
-    both_s = (ti == SHAPE_SPHERE) & (tj == SHAPE_SPHERE)
-    both_c = (ti == SHAPE_CAPSULE) & (tj == SHAPE_CAPSULE)
-    cap_sph = (ti == SHAPE_CAPSULE) & (tj == SHAPE_SPHERE)
+                                 ga.sphere, va, gb.capsule, vb)
+    both_s = (ga.shape_type == SHAPE_SPHERE) & (gb.shape_type == SHAPE_SPHERE)
+    both_c = ((ga.shape_type == SHAPE_CAPSULE)
+              & (gb.shape_type == SHAPE_CAPSULE))
+    cap_sph = ((ga.shape_type == SHAPE_CAPSULE)
+               & (gb.shape_type == SHAPE_SPHERE))
     c = contact_select(both_s, c_ss,
                        contact_select(both_c, c_cc,
                                       contact_select(cap_sph, c_cs, c_sc)))
     return two_slot(c)
 
 
-def _terrain_contact(cfg: WorldConfig, state, tri: Triangle,
-                     i) -> Contact:
-    """Contact slots (2, ...) for (triangle, body i), flipped so the BODY is
-    side "a" — reproducing the mesh double-flip chain (mesh.rs:127-134 then
-    compound.rs:186-188) whose net effect is a = body point, b = terrain
-    point, n = -triangle_normal (see collision.rs:1490-1506)."""
-    spheres, capsules = colliders(state)
-    pick = lambda arr, idx: jax.tree_util.tree_map(lambda x: x[idx], arr)
-    v = state.delta[i]
-
+def _terrain_contact(cfg: WorldConfig, gt: GatheredShapes,
+                     tri: Triangle) -> Contact:
+    """Contact slots (2, P) for (triangle, body) pairs, flipped so the BODY
+    is side "a" — the mesh double-flip chain (mesh.rs:127-134 then
+    compound.rs:186-188 via collision.rs:1490-1506) nets out to a = body
+    point, b = terrain point, n = -triangle_normal."""
+    v = gt.delta
     if cfg.shape_mode == "spheres":
-        c = contact_triangle_moving_sphere(tri, pick(spheres, i), v)
-        miss = c._replace(valid=jnp.zeros_like(c.valid))
-        out = contact_stack([c, miss])
+        c = contact_triangle_moving_sphere(tri, gt.sphere, v)
+        out = contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
     elif cfg.shape_mode == "capsules":
-        out = contact_triangle_moving_capsule(tri, pick(capsules, i), v)
+        out = contact_triangle_moving_capsule(tri, gt.capsule, v)
     else:
-        cs = contact_triangle_moving_sphere(tri, pick(spheres, i), v)
+        cs = contact_triangle_moving_sphere(tri, gt.sphere, v)
         cs2 = contact_stack([cs, cs._replace(
             valid=jnp.zeros_like(cs.valid))])
-        cc = contact_triangle_moving_capsule(tri, pick(capsules, i), v)
-        is_sph = state.shape_type[i] == SHAPE_SPHERE
+        cc = contact_triangle_moving_capsule(tri, gt.capsule, v)
+        is_sph = gt.shape_type == SHAPE_SPHERE
         out = contact_select(is_sph, cs2, cc)
     return contact_neg(out)
 
 
-# ---------------------------------------------------------------------------
-# the step
-# ---------------------------------------------------------------------------
-
-def _body_bounds(cfg: WorldConfig, state: RigidBodyState):
-    spheres, capsules = colliders(state)
+def _body_bounds(cfg: WorldConfig, sv) -> AABB:
+    spheres, capsules = colliders(sv)
     if cfg.shape_mode == "spheres":
         return sphere_aabb(spheres)
     if cfg.shape_mode == "capsules":
         return capsule_aabb(capsules)
     sb = sphere_aabb(spheres)
     cb = capsule_aabb(capsules)
-    is_sph = state.shape_type == SHAPE_SPHERE
-    return jax.tree_util.tree_map(
-        lambda a, b: where_vec(is_sph, a, b), sb, cb)
+    is_sph = sv.shape_type == SHAPE_SPHERE
+    return AABB(c=where_vec(is_sph, sb.c, cb.c),
+                r=where_vec(is_sph, sb.r, cb.r))
 
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
 
 def step(world: World, cfg: WorldConfig):
     """One physics frame (World::step, world.rs:227-294). Jittable.
-
     Returns (new_world, metrics dict).
+
+    With ``cfg.solver == "rows"`` (default) the pipeline is fully
+    scatter-free: candidate pairs are kept in BOTH directions, every body
+    owns a row of constraint slots, and the solver reduces impulses along
+    rows (see solver.build_row_constraints/solve_rows).  The "parallel" /
+    "sequential" modes use the flat single-direction constraint list
+    (reference pair dedupe, world.rs:266-268).
     """
     state = complete_motion(world.bodies)
     state = integrate(state, cfg.dt)
     n = state.n_bodies
-    n_tris = world.terrain.a.shape[0]
+    n_tris = world.terrain.a.x.shape[0]
+    sv = shape_view(state)
+    rows_form = cfg.solver == "rows"
 
     # ---- broadphase (replaces fat-proxy BVH refit + query) ----
-    bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, state),
-                                         state.delta, cfg.fatten)
+    bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, sv), state.delta,
+                                         cfg.fatten)
     if cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid)
         cand = broadphase.neighbor_candidates(bounds.c, table, cfg.grid)
@@ -210,28 +259,31 @@ def step(world: World, cfg: WorldConfig):
     else:
         cand = broadphase.all_pairs_candidates(n)
         overflow = jnp.int32(0)
-    partner, pair_ok = broadphase.refine_pairs(bounds, cand, cfg.max_pairs)
+    partner, pair_ok = broadphase.refine_pairs(bounds, cand, cfg.max_pairs,
+                                               ordered=not rows_form)
 
-    # ---- body-body narrowphase over the partner matrix ----
+    # ---- body-body narrowphase over the flattened partner matrix ----
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                             partner.shape).reshape(-1)
     cols = jnp.where(pair_ok, partner, 0).reshape(-1)
     pair_valid = pair_ok.reshape(-1)
 
-    pc = jax.vmap(lambda i, j: _pair_contact(cfg, state, i, j),
-                  in_axes=(0, 0), out_axes=1)(rows, cols)   # slots (2, P)
+    ps = pack_shapes(sv)
+    ga = gather_shapes(cfg, ps, rows)
+    gb = gather_shapes(cfg, ps, cols)
+    pc = _pair_contact(cfg, ga, gb)                    # slots (2, P)
     pc = pc._replace(valid=pc.valid & pair_valid[None, :])
-    centers = state.x
     lc = LocalContact(
-        local_a=pc.a - (centers[rows] + state.delta[rows]
-                        * pc.t[..., None]),
-        local_b=pc.b - (centers[cols] + state.delta[cols]
-                        * pc.t[..., None]),
+        local_a=pc.a - (ga.x + ga.delta * pc.t),
+        local_b=pc.b - (gb.x + gb.delta * pc.t),
         contact=pc)
     n_slots = 1 if cfg.shape_mode == "spheres" else 2
     pair_manifold = prune(lc, max_contacts=n_slots)
 
     # ---- terrain narrowphase: every (body, triangle) pair ----
+    manifolds = [pair_manifold]
+    idx_a = [rows]
+    idx_b = [cols]
     if n_tris > 0:
         t_rows = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None],
@@ -240,81 +292,131 @@ def step(world: World, cfg: WorldConfig):
             jnp.arange(n_tris, dtype=jnp.int32)[None, :],
             (n, n_tris)).reshape(-1)
         tri = jax.tree_util.tree_map(lambda x: x[t_tris], world.terrain)
-        tc = jax.vmap(lambda t, i: _terrain_contact(cfg, state, t, i),
-                      in_axes=(0, 0), out_axes=1)(tri, t_rows)
+        gt = gather_shapes(cfg, ps, t_rows)
+        tc = _terrain_contact(cfg, gt, tri)
         t_lc = LocalContact(
-            local_a=tc.a - (centers[t_rows] + state.delta[t_rows]
-                            * tc.t[..., None]),
+            local_a=tc.a - (gt.x + gt.delta * tc.t),
             local_b=tc.b - world.terrain_center,
             contact=tc)
-        # each terrain LocalContact is its own single-point constraint
-        # (world.rs:240-253): prune only merges the per-pair 2 slots
-        terrain_manifold = prune(t_lc, max_contacts=2)
-    else:
-        t_rows = jnp.zeros((0,), jnp.int32)
-        terrain_manifold = None
-
-    # ---- assemble constraints against extended body arrays ----
-    static_row = lambda shape, fill=0.0: jnp.concatenate(
-        [shape, jnp.full((1,) + shape.shape[1:], fill, shape.dtype)], axis=0)
-    bodies_ext = BodyView(
-        x=jnp.concatenate([state.x + state.delta,
-                           world.terrain_center[None, :]], axis=0),
-        v=static_row(state.v),
-        omega=static_row(state.omega),
-        restitution=static_row(state.restitution),
-        friction=static_row(state.friction),   # Static{friction: 0.0}
-        inv_mass=static_row(state.inv_mass),
-        inv_moment=static_row(state.inv_moment),
-    )
-
-    manifolds = [pair_manifold]
-    idx_a = [rows]
-    idx_b = [cols]
-    if terrain_manifold is not None:
-        manifolds.append(terrain_manifold)
+        # each terrain LocalContact is its own constraint (world.rs:240-253);
+        # prune only merges a single (body,tri) pair's 2 slots
+        manifolds.append(prune(t_lc, max_contacts=2))
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
 
-    # mass-splitting counts need per-body contact totals first
-    def manifold_counts(man, ia, ib):
-        pts = jnp.sum(man.valid, axis=-1).astype(jnp.float32)
-        ca = jax.ops.segment_sum(pts, ia, num_segments=n + 1)
-        cb = jax.ops.segment_sum(pts, ib, num_segments=n + 1)
-        return ca + cb
+    # ---- extended body arrays: one virtual static row for the terrain ----
+    srow = lambda g: jnp.concatenate(
+        [g, jnp.zeros((1,) + g.shape[1:], g.dtype)], axis=0)
+    srow_t = lambda t: jax.tree_util.tree_map(srow, t)
+    bodies_ext = BodyView(
+        x=jax.tree_util.tree_map(
+            lambda g, c: jnp.concatenate([g, c[None]], axis=0),
+            state.x + state.delta, world.terrain_center),
+        v=srow_t(state.v),
+        omega=srow_t(state.omega),
+        restitution=srow(state.restitution),
+        friction=srow(state.friction),   # Static{friction: 0.0}, world.rs:247
+        inv_mass=srow(state.inv_mass),
+        inv_moment=srow_t(state.inv_moment),
+    )
 
-    counts = sum(manifold_counts(m, a, b)
-                 for m, a, b in zip(manifolds, idx_a, idx_b))
-    counts = jnp.maximum(counts, 1.0)
-    use_split = cfg.solver == "parallel"
+    if rows_form:
+        # ---- scatter-free row constraints ----
+        # reshape pair manifolds (S, N*K) -> slot-major (S*K, N); every
+        # contact of body i lives in row i (pairs appear once per side).
+        K = partner.shape[1]
 
-    cons = []
-    for man, ia, ib in zip(manifolds, idx_a, idx_b):
-        split_a = counts[ia] if use_split else None
-        split_b = counts[ib] if use_split else None
-        cons.append(build_constraints(bodies_ext, ia, ib, man, cfg.dt,
-                                      split_a=split_a, split_b=split_b))
-    con = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *cons)
+        def man_to_rows(man, width):
+            """Manifold over P = n*width pairs -> slot-major rows.
 
-    # ---- solve ----
-    if cfg.solver == "parallel":
-        v, omega = solve_parallel(con, bodies_ext, cfg.solver_iters,
-                                  cfg.friction_mode)
+            slot fields (S, P) -> (S*width, n); per-pair fields (P,) are
+            tiled across the S slots they share (normal/tangents/time).
+            """
+            S = man.valid.shape[0]
+            slotf = lambda x: (x.reshape(S, n, width).swapaxes(1, 2)
+                               .reshape(S * width, n))
+            pairf = lambda x: jnp.broadcast_to(
+                x.reshape(n, width).T[None], (S, width, n)).reshape(-1, n)
+            return Manifold(
+                time=pairf(man.time),
+                normal=jax.tree_util.tree_map(pairf, man.normal),
+                t1=jax.tree_util.tree_map(pairf, man.t1),
+                t2=jax.tree_util.tree_map(pairf, man.t2),
+                local_a=jax.tree_util.tree_map(slotf, man.local_a),
+                local_b=jax.tree_util.tree_map(slotf, man.local_b),
+                valid=slotf(man.valid),
+            )
+
+        blocks = [man_to_rows(pair_manifold, K)]
+        partners = [jnp.broadcast_to(
+            jnp.where(pair_ok, partner, n).T[None],
+            (pair_manifold.valid.shape[0], K, n)).reshape(-1, n)]
+        if n_tris > 0:
+            blocks.append(man_to_rows(manifolds[1], n_tris))
+            partners.append(jnp.full((2 * n_tris, n), n, jnp.int32))
+
+        man_rows = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *blocks)
+        partner_rows = jnp.concatenate(partners, axis=0)
+
+        # mass splitting: every contact of body i is in row i, so the
+        # per-body count is a row reduction; partner counts are one gather.
+        counts = jnp.concatenate(
+            [jnp.sum(man_rows.valid, axis=0).astype(jnp.float32),
+             jnp.ones((1,), jnp.float32)])
+        counts = jnp.maximum(counts, 1.0)
+
+        rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
+                                   cfg.dt, counts=counts)
+        v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
+                              bodies_ext.inv_mass, bodies_ext.inv_moment,
+                              cfg.solver_iters, cfg.friction_mode,
+                              cfg.two_phase)
+        num_contacts = jnp.sum(rc.valid)
+        num_constraints = rc.valid.size
     else:
-        v, omega = solve_sequential(con, bodies_ext, cfg.solver_iters,
-                                    cfg.friction_mode)
-    # NOTE: ``delta`` deliberately stays at its pre-solve value — mgf sets the
-    # collider sweep in integrate (physics.rs:243-251) and the solver only
-    # mutates velocities, so next frame's complete_motion commits the
-    # pre-solve displacement; Baumgarte bias recovers any penetration.
-    state = state._replace(v=v[:n], omega=omega[:n])
+        # ---- flat constraint list (reference single-direction form) ----
+        def manifold_counts(man, ia, ib):
+            pts = jnp.sum(man.valid, axis=0).astype(jnp.float32)
+            ca = jax.ops.segment_sum(pts, ia, num_segments=n + 1)
+            cb = jax.ops.segment_sum(pts, ib, num_segments=n + 1)
+            return ca + cb
+
+        counts = sum(manifold_counts(m, a, b)
+                     for m, a, b in zip(manifolds, idx_a, idx_b))
+        counts = jnp.maximum(counts, 1.0)
+        use_split = cfg.solver == "parallel"
+
+        cons = []
+        for man, ia, ib in zip(manifolds, idx_a, idx_b):
+            split_a = counts[ia] if use_split else None
+            split_b = counts[ib] if use_split else None
+            cons.append(build_constraints(bodies_ext, ia, ib, man, cfg.dt,
+                                          split_a=split_a, split_b=split_b))
+        con = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *cons)
+
+        if cfg.solver == "parallel":
+            v, omega = solve_parallel(con, bodies_ext, cfg.solver_iters,
+                                      cfg.friction_mode)
+        else:
+            v, omega = solve_sequential(con, bodies_ext, cfg.solver_iters,
+                                        cfg.friction_mode)
+        num_contacts = jnp.sum(con.valid)
+        num_constraints = con.valid.shape[0]
+
+    trim = lambda t: jax.tree_util.tree_map(lambda g: g[:n], t)
+    # NOTE: ``delta`` deliberately stays at its pre-solve value — mgf sets
+    # the collider sweep in integrate (physics.rs:243-251) and the solver
+    # only mutates velocities; next frame's complete_motion commits the
+    # pre-solve displacement and Baumgarte recovers any penetration.
+    state = state._replace(v=trim(v), omega=trim(omega))
 
     metrics = {
         "broadphase_overflow": overflow,
         "num_pairs": jnp.sum(pair_valid),
-        "num_contacts": jnp.sum(con.valid),
-        "num_constraints": con.valid.shape[0],
+        "num_contacts": num_contacts,
+        "num_constraints": num_constraints,
     }
     return world._replace(bodies=state), metrics
 

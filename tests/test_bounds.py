@@ -1,7 +1,8 @@
 """Ports of the reference's bounds.rs unit tests (bounds.rs:321-411)."""
 
 import jax.numpy as jnp
-import numpy as np
+
+from helpers import V, F, assert_vec
 
 from mgf_tpu.bounds import (
     aabb_combine, aabb_sphere, aabb_surface_area, capsule_aabb, sphere_aabb,
@@ -12,9 +13,6 @@ from mgf_tpu.collision import (
     overlap_sphere_sphere,
 )
 from mgf_tpu.geom import AABB, Capsule, Sphere, Triangle
-
-V = lambda *a: jnp.asarray(a, jnp.float32)
-F = jnp.float32
 
 
 def test_aabb():
@@ -64,19 +62,19 @@ def test_mixed():
 def test_swept_and_shape_bounds():
     s = sphere_aabb(Sphere(c=V(0, 0, 0), r=F(1.0)))
     sw = swept_aabb(s, V(0, -4, 0))
-    np.testing.assert_allclose(sw.c, V(0, -2, 0))
-    np.testing.assert_allclose(sw.r, V(1, 3, 1))
+    assert_vec(sw.c, V(0, -2, 0))
+    assert_vec(sw.r, V(1, 3, 1))
 
     cap = Capsule(a=V(0, -1, 0), d=V(0, 2, 0), r=F(0.5))
     b = capsule_aabb(cap)
     # conservative cube: r + |d|/2 = 1.5 (bounds.rs:179-188)
-    np.testing.assert_allclose(b.c, V(0, 0, 0))
-    np.testing.assert_allclose(b.r, V(1.5, 1.5, 1.5))
+    assert_vec(b.c, V(0, 0, 0))
+    assert_vec(b.r, V(1.5, 1.5, 1.5))
 
     tri = Triangle(a=V(0, 0, 0), b=V(3, 0, 0), c=V(0, 3, 0))
     tb = triangle_aabb(tri)
-    np.testing.assert_allclose(tb.c, V(1, 1, 0))
-    np.testing.assert_allclose(tb.r, V(2, 2, 0))
+    assert_vec(tb.c, V(1, 1, 0))
+    assert_vec(tb.r, V(2, 2, 0))
 
     # surface_area is the reference's 1/8-quirk version (bounds.rs:132-134)
     assert float(aabb_surface_area(AABB(c=V(0, 0, 0), r=V(1, 2, 3)))) == 11.0

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from helpers import V, F, assert_vec
+from mgf_tpu.math3d import normalize
+
 from mgf_tpu.collision import (
     contact_advect, contact_capsule_moving_capsule,
     contact_capsule_moving_sphere, contact_plane_moving_sphere,
@@ -22,22 +25,13 @@ from mgf_tpu.collision import (
 )
 from mgf_tpu.geom import AABB, Capsule, Plane, Rectangle, Sphere, Triangle
 
-V = lambda *a: jnp.asarray(a, jnp.float32)
-F = jnp.float32
-EPS = 1e-5
 INF = jnp.inf
-
-
-def assert_vec(actual, expected, eps=EPS):
-    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
-                               atol=eps)
 
 
 def rect_floor():
     # Rect{c: (0,1,0), u: [x, z], e: [3,3]} (collision.rs:1700-1704)
-    return Rectangle(c=V(0, 1, 0),
-                     u=jnp.stack([V(1, 0, 0), V(0, 0, 1)]),
-                     e=V(3.0, 3.0))
+    return Rectangle(c=V(0, 1, 0), u0=V(1, 0, 0), u1=V(0, 0, 1),
+                     e0=F(3.0), e1=F(3.0))
 
 
 # ---------------------------------------------------------------------------
@@ -46,14 +40,12 @@ def rect_floor():
 
 def test_ray_capsule_intersections():
     c = Capsule(a=V(0, 0, 0), d=V(1, 0, 0), r=F(1.0))
-    d = V(-0.25, 1.0, 0.0)
-    d = d / jnp.linalg.norm(d)
+    d = normalize(V(-0.25, 1.0, 0.0))
     i = intersect_capsule(V(1, -3, 0), d, INF, c)
     assert bool(i.hit)
     assert_vec(i.p, V(0.5, -1.0, 0.0))
 
-    d = V(0.25, 1.0, 0.0)
-    d = d / jnp.linalg.norm(d)
+    d = normalize(V(0.25, 1.0, 0.0))
     i = intersect_capsule(V(0, -3, 0), d, INF, c)
     assert bool(i.hit)
     assert_vec(i.p, V(0.5, -1.0, 0.0))

@@ -6,18 +6,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from helpers import V, F, assert_vec
+
 from mgf_tpu import math3d
 from mgf_tpu.geom import (
-    Capsule, Rectangle, Segment, Sphere, Triangle, AABB, OBB,
-    closest_pt_segment, closest_pt_triangle, closest_pts_seg, compute_basis,
-    plane_from_points, support_aabb, support_capsule, support_sphere,
-    triangle_barycentric, triangle_normal,
+    Capsule, Segment, Sphere, Triangle, AABB,
+    closest_pt_triangle, closest_pts_seg, compute_basis, plane_from_points,
+    support_aabb, support_capsule, support_sphere, triangle_barycentric,
 )
 from mgf_tpu.math3d import (
-    COLLISION_EPSILON, quat_from_arc, qrotate, quat_from_axis_angle, vec3,
+    COLLISION_EPSILON, Vec3, dot, magnitude, magnitude2, mat_inv3, mat_mul,
+    mto, mfrom, qrotate, quat_from_arc, vec3,
 )
-
-V = lambda *a: jnp.asarray(a, jnp.float32)
 
 
 def test_tri_closest_pt():
@@ -25,43 +25,32 @@ def test_tri_closest_pt():
     tri = Triangle(a=V(2.0, 3.5, 0.0), b=V(-2.0, -1.5, 0.0),
                    c=V(2.0, -1.5, 0.0))
     p = closest_pt_triangle(tri, V(0.0, 0.0, 0.0))
-    assert float(jnp.sum(p * p)) < COLLISION_EPSILON
+    assert float(magnitude2(p)) < COLLISION_EPSILON
 
 
 def test_tri_closest_pt_regions():
-    tri = Triangle(a=V(0.0, 0.0, 0.0), b=V(1.0, 0.0, 0.0), c=V(0.0, 1.0, 0.0))
-    # vertex regions
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(-1, -1, 0)),
-                               V(0, 0, 0))
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(2, -1, 0)),
-                               V(1, 0, 0))
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(-1, 2, 0)),
-                               V(0, 1, 0))
-    # edge regions
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(0.5, -1, 0)),
-                               V(0.5, 0, 0))
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(1, 1, 0)),
-                               V(0.5, 0.5, 0), atol=1e-6)
-    # face region (above)
-    np.testing.assert_allclose(closest_pt_triangle(tri, V(0.25, 0.25, 5.0)),
-                               V(0.25, 0.25, 0), atol=1e-6)
+    tri = Triangle(a=V(0, 0, 0), b=V(1, 0, 0), c=V(0, 1, 0))
+    assert_vec(closest_pt_triangle(tri, V(-1, -1, 0)), V(0, 0, 0))
+    assert_vec(closest_pt_triangle(tri, V(2, -1, 0)), V(1, 0, 0))
+    assert_vec(closest_pt_triangle(tri, V(-1, 2, 0)), V(0, 1, 0))
+    assert_vec(closest_pt_triangle(tri, V(0.5, -1, 0)), V(0.5, 0, 0))
+    assert_vec(closest_pt_triangle(tri, V(1, 1, 0)), V(0.5, 0.5, 0))
+    assert_vec(closest_pt_triangle(tri, V(0.25, 0.25, 5.0)),
+               V(0.25, 0.25, 0))
 
 
 def test_capsule_support_fn():
     # geom.rs:1169-1173
-    cap = Capsule(a=V(2.0, 0.0, 0.0), d=V(2.0, 0.0, 0.0),
-                  r=jnp.float32(1.0))
-    np.testing.assert_allclose(
-        support_capsule(cap, V(0.0, 1.0, 0.0)), V(5.0, 1.0, 0.0), atol=1e-6)
-    np.testing.assert_allclose(
-        support_capsule(cap, V(-1.0, 0.0, 0.0)), V(1.0, 0.0, 0.0), atol=1e-6)
+    cap = Capsule(a=V(2.0, 0.0, 0.0), d=V(2.0, 0.0, 0.0), r=F(1.0))
+    assert_vec(support_capsule(cap, V(0.0, 1.0, 0.0)), V(5.0, 1.0, 0.0))
+    assert_vec(support_capsule(cap, V(-1.0, 0.0, 0.0)), V(1.0, 0.0, 0.0))
 
 
 def test_sphere_aabb_support():
-    s = Sphere(c=V(1.0, 2.0, 3.0), r=jnp.float32(2.0))
-    np.testing.assert_allclose(support_sphere(s, V(0, 1, 0)), V(1, 4, 3))
+    s = Sphere(c=V(1.0, 2.0, 3.0), r=F(2.0))
+    assert_vec(support_sphere(s, V(0, 1, 0)), V(1, 4, 3))
     box = AABB(c=V(0, 0, 0), r=V(1, 2, 3))
-    np.testing.assert_allclose(support_aabb(box, V(1, -1, 1)), V(1, -2, 3))
+    assert_vec(support_aabb(box, V(1, -1, 1)), V(1, -2, 3))
 
 
 def test_closest_pts_seg():
@@ -69,8 +58,8 @@ def test_closest_pts_seg():
     s2 = Segment(a=V(0.5, 1, 0), b=V(0.5, 2, 0))
     p1, p2, par = closest_pts_seg(s1, s2)
     assert not bool(par)
-    np.testing.assert_allclose(p1, V(0.5, 0, 0), atol=1e-6)
-    np.testing.assert_allclose(p2, V(0.5, 1, 0), atol=1e-6)
+    assert_vec(p1, V(0.5, 0, 0))
+    assert_vec(p2, V(0.5, 1, 0))
     # parallel overlapping segments report the parallel flag
     s3 = Segment(a=V(0, 1, 0), b=V(1, 1, 0))
     _, _, par = closest_pts_seg(s1, s3)
@@ -79,13 +68,13 @@ def test_closest_pts_seg():
     s4 = Segment(a=V(3, 4, 0), b=V(3, 4, 0))
     p1, p2, par = closest_pts_seg(s1, s4)
     assert not bool(par)
-    np.testing.assert_allclose(p1, V(1, 0, 0), atol=1e-6)
-    np.testing.assert_allclose(p2, V(3, 4, 0), atol=1e-6)
+    assert_vec(p1, V(1, 0, 0))
+    assert_vec(p2, V(3, 4, 0))
 
 
 def test_plane_from_points():
     p = plane_from_points(V(0, 1, 0), V(0, 1, 1), V(1, 1, 0))
-    np.testing.assert_allclose(p.n, V(0, 1, 0), atol=1e-6)
+    assert_vec(p.n, V(0, 1, 0))
     assert float(p.d) == pytest.approx(1.0)
 
 
@@ -99,38 +88,40 @@ def test_barycentric():
 
 def test_quat_from_arc():
     q = quat_from_arc(V(1, 0, 0), V(0, 1, 0))
-    np.testing.assert_allclose(qrotate(q, V(1, 0, 0)), V(0, 1, 0), atol=1e-6)
+    assert_vec(qrotate(q, V(1, 0, 0)), V(0, 1, 0))
     # parallel -> identity
     q = quat_from_arc(V(0, 2, 0), V(0, 5, 0))
-    np.testing.assert_allclose(q, V(1, 0, 0, 0), atol=1e-6)
+    assert float(q.w) == pytest.approx(1.0)
     # antiparallel -> some 180-degree rotation
     q = quat_from_arc(V(0, 1, 0), V(0, -1, 0))
-    np.testing.assert_allclose(qrotate(q, V(0, 1, 0)), V(0, -1, 0), atol=1e-6)
+    assert_vec(qrotate(q, V(0, 1, 0)), V(0, -1, 0))
     # non-unit inputs
     q = quat_from_arc(V(3, 0, 0), V(0, 0, 7))
-    np.testing.assert_allclose(qrotate(q, V(1, 0, 0)), V(0, 0, 1), atol=1e-6)
+    assert_vec(qrotate(q, V(1, 0, 0)), V(0, 0, 1))
 
 
 def test_compute_basis():
     for n in [V(0, 1, 0), V(1, 0, 0), V(0.6, 0.8, 0.0)]:
         t1, t2 = compute_basis(n)
-        assert float(math3d.dot(t1, n)) == pytest.approx(0.0, abs=1e-6)
-        assert float(math3d.dot(t2, n)) == pytest.approx(0.0, abs=1e-6)
-        assert float(math3d.dot(t1, t2)) == pytest.approx(0.0, abs=1e-6)
-        assert float(math3d.magnitude(t1)) == pytest.approx(1.0, rel=1e-5)
-        assert float(math3d.magnitude(t2)) == pytest.approx(1.0, rel=1e-5)
+        assert float(dot(t1, n)) == pytest.approx(0.0, abs=1e-6)
+        assert float(dot(t2, n)) == pytest.approx(0.0, abs=1e-6)
+        assert float(dot(t1, t2)) == pytest.approx(0.0, abs=1e-6)
+        assert float(magnitude(t1)) == pytest.approx(1.0, rel=1e-5)
+        assert float(magnitude(t2)) == pytest.approx(1.0, rel=1e-5)
 
 
 def test_mat_inv3():
-    m = jnp.asarray([[2.0, 0, 0], [0, 4, 0], [1, 0, 8]], jnp.float32)
-    inv = math3d.mat_inv3(m)
-    np.testing.assert_allclose(math3d.mat_mul(m, inv), jnp.eye(3), atol=1e-6)
+    m = mfrom(jnp.asarray([[2.0, 0, 0], [0, 4, 0], [1, 0, 8]], jnp.float32))
+    inv = mat_inv3(m)
+    np.testing.assert_allclose(mto(mat_mul(m, inv)), jnp.eye(3), atol=1e-6)
 
 
-def test_vmap_batching():
-    # every geom routine must vmap cleanly
-    tri = Triangle(a=jnp.zeros((5, 3)), b=jnp.ones((5, 3)),
-                   c=jnp.stack([V(0, 1, 0)] * 5))
-    pts = jnp.ones((5, 3)) * 0.3
-    out = jax.vmap(closest_pt_triangle)(tri, pts)
-    assert out.shape == (5, 3)
+def test_native_batching():
+    # every geom routine must accept batched component arrays directly
+    ones = jnp.ones((5,))
+    tri = Triangle(a=Vec3(ones * 0, ones * 0, ones * 0),
+                   b=Vec3(ones, ones, ones),
+                   c=Vec3(ones * 0, ones, ones * 0))
+    pts = Vec3(ones * 0.3, ones * 0.3, ones * 0.3)
+    out = closest_pt_triangle(tri, pts)
+    assert out.x.shape == (5,)
