@@ -242,18 +242,34 @@ def gjk(support: Callable, init_dir: Vec3, max_iters: int = GJK_MAX_ITERS
                                        jnp.where(is3, f_cnt, v_cnt)))
 
         mag2 = magnitude2(closest)
-        # origin enclosed (or reduced to it): simplex.rs:179-189 pads the
-        # simplex by sampling rotated previous axes
+        # Origin enclosed (or reduced onto the simplex).  The reference pads
+        # the simplex to a tetrahedron by resampling rotated previous axes
+        # (simplex.rs:179-189) — which NaNs out when the first simplex
+        # already contains the origin.  We instead rebuild a guaranteed
+        # non-degenerate tetrahedron around the straddling edge: two
+        # supports perpendicular to it, the 4th picked by max |volume|.
         enc_now = (mag2 < COLLISION_EPSILON) | (is4 & v_enc)
-        prev = st['prev_norm']
-        pad_axis1 = safe_normalize(Vec3(prev.z, prev.x, prev.y))
-        pad1 = support(pad_axis1)
-        pad_axis2 = safe_normalize(Vec3(pad_axis1.z, pad_axis1.x,
-                                        pad_axis1.y))
-        pad2 = support(pad_axis2)
-        # pad empty slots so the final simplex is a tetrahedron
-        n2 = _sp_where(enc_now & (count < 3), pad1, n2)
-        n3 = _sp_where(enc_now & (count < 4), pad2, n3)
+        e_axis = safe_normalize(n1.p - n0.p,
+                                Vec3(jnp.ones_like(mag2),
+                                     jnp.zeros_like(mag2),
+                                     jnp.zeros_like(mag2)))
+        from mgf_tpu.math3d import perpendicular
+        u_axis = perpendicular(e_axis)
+        w_axis = cross(e_axis, u_axis)
+        pad_u = support(u_axis)
+        cand_a = support(w_axis)
+        cand_b = support(-w_axis)
+        cand_c = support(-u_axis)
+
+        n2 = _sp_where(enc_now & (count < 3), pad_u, n2)
+
+        def vol(p3):
+            return jnp.abs(dot(p3.p - n0.p,
+                               cross(n1.p - n0.p, n2.p - n0.p)))
+        va_, vb_, vc_ = vol(cand_a), vol(cand_b), vol(cand_c)
+        pad_last = _sp_where((va_ >= vb_) & (va_ >= vc_), cand_a,
+                             _sp_where(vb_ >= vc_, cand_b, cand_c))
+        n3 = _sp_where(enc_now & (count < 4), pad_last, n3)
 
         # support along -closest
         dir_ = -safe_normalize(closest)
@@ -279,7 +295,7 @@ def gjk(support: Callable, init_dir: Vec3, max_iters: int = GJK_MAX_ITERS
             s0=upds(n0, s0), s1=upds(n1, s1), s2=upds(n2, s2),
             s3=upds(n3, s3),
             count=upd(new_count, count),
-            prev_norm=updv(closest, prev),
+            prev_norm=updv(closest, st['prev_norm']),
             closest=updv(where_vec(enc_now, vzeros_like(closest), closest),
                          st['closest']),
             done=st['done'] | (active & done_now),
@@ -314,9 +330,27 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
     zero = SupportPoint(p=vzeros_like(res.s0.p), a=vzeros_like(res.s0.p),
                         b=vzeros_like(res.s0.p))
 
-    # seed: 4 faces of the tetrahedron (simplex.rs:466-473)
-    a, b, c, d = res.s0, res.s1, res.s2, res.s3
-    seeds = [(a, b, c), (a, c, d), (a, d, b), (b, d, c)]
+    # Seed: an octahedron of six jittered-axis supports.  The reference
+    # seeds from the GJK tetrahedron (simplex.rs:466-473), but that tetra
+    # can be a sliver with several vertices on one hull face (box-box
+    # cases), and the first expansion then collapses the polytope.  Six
+    # spread supports give a fat, watertight 8-face seed; the jitter
+    # de-ties sign(0) corner picks on axis-aligned shapes.
+    one = jnp.ones(batch)
+    e1, e2 = 3e-4 * one, 7e-4 * one
+    dirs = [Vec3(one, e1, e2), Vec3(-one, -e1, e2),
+            Vec3(e2, one, -e1), Vec3(-e2, -one, -e1),
+            Vec3(-e1, e2, one), Vec3(e1, -e2, -one)]
+    vs = [support(d_) for d_ in dirs]
+    interior = vs[0].p
+    for v_ in vs[1:]:
+        interior = interior + v_.p
+    interior = interior * (1.0 / 6.0)
+
+    # octahedron faces (px/nx = +-x vertex etc.)
+    px, nx, py, ny, pz, nz = vs
+    seeds = [(px, py, pz), (px, pz, ny), (px, ny, nz), (px, nz, py),
+             (nx, pz, py), (nx, ny, pz), (nx, nz, ny), (nx, py, nz)]
 
     def slot_write(tbl, k, sp):
         return jax.tree_util.tree_map(
@@ -330,7 +364,7 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
         t0 = slot_write(t0, k_, p0)
         t1 = slot_write(t1, k_, p1)
         t2 = slot_write(t2, k_, p2)
-    valid = jnp.zeros((T,) + batch, bool).at[:4].set(True)
+    valid = jnp.zeros((T,) + batch, bool).at[:8].set(True)
 
     state = dict(t0=t0, t1=t1, t2=t2, valid=valid,
                  done=jnp.zeros(batch, bool),
@@ -340,13 +374,18 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
                  out_t1=zero, out_t2=zero)
 
     def tri_normal_dist(t0, t1, t2):
-        n = safe_normalize(cross(t1.p - t0.p, t2.p - t0.p))
-        return n, jnp.abs(dot(n, t0.p))
+        raw = cross(t1.p - t0.p, t2.p - t0.p)
+        ok = magnitude2(raw) > 1e-12      # degenerate faces never "closest"
+        n = safe_normalize(raw)
+        # orient outward w.r.t. the seed interior point (winding-robust)
+        sgn = jnp.where(dot(n, t0.p - interior) >= 0.0, 1.0, -1.0)
+        n = n * sgn
+        return n, jnp.abs(dot(n, t0.p)), ok
 
     def body(i, st):
         t0, t1, t2, valid = st['t0'], st['t1'], st['t2'], st['valid']
-        n, dist = tri_normal_dist(t0, t1, t2)          # (T, batch)
-        dist_m = jnp.where(valid, dist, jnp.inf)
+        n, dist, n_ok = tri_normal_dist(t0, t1, t2)    # (T, batch)
+        dist_m = jnp.where(valid & n_ok, dist, jnp.inf)
         ci = jnp.argmin(dist_m, axis=0)                # (batch,)
         take = lambda arr: jnp.take_along_axis(
             arr, ci[None], axis=0)[0]
