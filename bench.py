@@ -1,10 +1,11 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json): physics steps/sec on the 100k-sphere stress scene,
-one TPU chip, target >= 60.  Also reports the reference demo scenes
-(1,332-sphere balls, 1,331-capsule capsules) as secondary metrics on stderr.
+one TPU chip, target >= 60.  Secondary metrics (stderr): the reference demo
+scenes (1,332-sphere balls; 1,331-capsule capsules with --full) and the
+narrowphase contact-test rate.
 
-Usage: python bench.py [--quick]
+Usage: python bench.py [--quick] [--full] [--bodies N]
 """
 
 import argparse
@@ -20,6 +21,10 @@ def time_steps(world, cfg, warmup, iters):
     from mgf_tpu.world import make_step_fn
     f = make_step_fn(cfg)
     m = None
+    t0 = time.perf_counter()
+    world, m = f(world)
+    jax.block_until_ready(world)
+    compile_s = time.perf_counter() - t0
     for _ in range(warmup):
         world, m = f(world)
     jax.block_until_ready(world)
@@ -28,14 +33,16 @@ def time_steps(world, cfg, warmup, iters):
         world, m = f(world)
     jax.block_until_ready(world)
     dt = time.perf_counter() - t0
-    assert not bool(np.isnan(np.asarray(world.bodies.x)).any()), "NaN state"
-    return iters / dt, world, m
+    assert not bool(np.isnan(np.asarray(world.bodies.x.y)).any()), "NaN"
+    return iters / dt, compile_s, world, m
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="smaller scene / fewer steps (smoke test)")
+                    help="10k bodies, skip secondary scenes")
+    ap.add_argument("--full", action="store_true",
+                    help="also run the capsules scene (long compile)")
     ap.add_argument("--bodies", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -43,28 +50,32 @@ def main():
 
     secondary = {}
 
-    # secondary: the reference demo scenes
-    try:
-        w, cfg = balls_scene()
-        sps, _, m = time_steps(w, cfg, warmup=30, iters=60)
-        secondary["balls_1332_steps_per_sec"] = round(sps, 1)
-    except Exception as e:  # pragma: no cover
-        secondary["balls_error"] = repr(e)
     if not args.quick:
         try:
+            w, cfg = balls_scene()
+            sps, comp, _, m = time_steps(w, cfg, warmup=30, iters=60)
+            secondary["balls_1332_steps_per_sec"] = round(sps, 1)
+            secondary["balls_compile_s"] = round(comp, 1)
+        except Exception as e:  # pragma: no cover
+            secondary["balls_error"] = repr(e)[:200]
+    if args.full:
+        try:
             w, cfg = capsules_scene()
-            sps, _, m = time_steps(w, cfg, warmup=30, iters=60)
+            sps, comp, _, m = time_steps(w, cfg, warmup=30, iters=60)
             secondary["capsules_1331_steps_per_sec"] = round(sps, 1)
         except Exception as e:  # pragma: no cover
-            secondary["capsules_error"] = repr(e)
+            secondary["capsules_error"] = repr(e)[:200]
 
-    # headline: 100k-sphere stress scene
+    # headline: 100k-sphere stress scene (warm into a contact-rich pile)
     n = 10_000 if args.quick else args.bodies
     w, cfg = stress_scene(n)
-    # warm into a contact-rich regime (pile formation) before timing
-    sps, world, m = time_steps(w, cfg, warmup=60, iters=60)
+    sps, comp, world, m = time_steps(w, cfg, warmup=60, iters=60)
+    secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
     secondary["stress_broadphase_overflow"] = int(m["broadphase_overflow"])
+    # narrowphase contact tests/sec = candidate pairs tested per second
+    secondary["narrowphase_pair_tests_per_sec"] = round(
+        float(m["num_constraints"]) * sps, 0)
 
     print(json.dumps(secondary), file=sys.stderr)
     print(json.dumps({

@@ -1,0 +1,174 @@
+"""ctypes bindings for the native host runtime (csrc/mgf_host.cpp).
+
+Compiled on demand with g++ into ``csrc/libmgf_host.so`` (cached); every
+function has a pure-numpy fallback so the engine works without a toolchain.
+
+Provided:
+* :func:`morton_order` — spatial sort permutation for bodies,
+* :func:`build_cell_table` — host-side static mesh face grid build,
+* :func:`weld_vertices` — mesh vertex dedup,
+* :class:`AabbTree` — median-split AABB tree over triangles with overlap
+  queries (the host-side bvh.rs equivalent for tooling).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                    "mgf_host.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                   "libmgf_host.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.abspath(_SRC)
+    so = os.path.abspath(_SO)
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+    except Exception:
+        _lib = False
+        return False
+
+    i64 = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.morton_order.argtypes = [f32p, i64, i32p]
+    lib.build_cell_table.argtypes = [f32p, i64, i32p, i64, ctypes.c_float,
+                                     ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.build_cell_table.restype = i64
+    lib.weld_vertices.argtypes = [f32p, i64, ctypes.c_float, i32p, f32p]
+    lib.weld_vertices.restype = i64
+    lib.aabb_tree_build.argtypes = [f32p, i64, i32p, i64, f32p, i32p, i32p]
+    lib.aabb_tree_build.restype = i64
+    lib.aabb_tree_query.argtypes = [f32p, i32p, i32p, i64, f32p, f32p, i32p,
+                                    i64]
+    lib.aabb_tree_query.restype = i64
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return bool(_load())
+
+
+def morton_order(pos) -> np.ndarray:
+    """Permutation sorting positions (n, 3) by 30-bit morton code."""
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = pos.shape[0]
+    lib = _load()
+    if lib:
+        out = np.empty(n, np.int32)
+        lib.morton_order(pos, n, out)
+        return out
+    # numpy fallback
+    lo = pos.min(0)
+    rng = np.maximum(pos.max(0) - lo, 1e-9)
+    q = np.clip(((pos - lo) / rng * 1023.0), 0, 1023).astype(np.uint32)
+
+    def expand(v):
+        v = (v * 0x00010001) & 0xFF0000FF
+        v = (v * 0x00000101) & 0x0F00F00F
+        v = (v * 0x00000011) & 0xC30C30C3
+        v = (v * 0x00000005) & 0x49249249
+        return v
+    code = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def build_cell_table(verts, faces, cell_size: float, dim: int, cap: int):
+    """(dim^3, cap) int32 face table (+ overflow count), host-built."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    table = np.full((dim ** 3, cap), -1, np.int32)
+    lib = _load()
+    if lib:
+        overflow = lib.build_cell_table(verts, verts.shape[0], faces,
+                                        faces.shape[0], cell_size, dim, cap,
+                                        table)
+        return table, int(overflow)
+    # numpy fallback
+    cent = verts[faces].mean(axis=1)
+    cc = np.floor(cent / cell_size).astype(np.int64) & (dim - 1)
+    bucket = (cc[:, 0] * dim + cc[:, 1]) * dim + cc[:, 2]
+    overflow = 0
+    fill = {}
+    for f, b in enumerate(bucket):
+        k = fill.get(b, 0)
+        if k < cap:
+            table[b, k] = f
+            fill[b] = k + 1
+        else:
+            overflow += 1
+    return table, overflow
+
+
+def weld_vertices(verts, tol: float = 1e-6):
+    """Dedup a vertex soup; returns (new_verts, remap old->new)."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    n = verts.shape[0]
+    lib = _load()
+    if lib:
+        remap = np.empty(n, np.int32)
+        out = np.empty_like(verts)
+        count = lib.weld_vertices(verts, n, tol, remap, out)
+        return out[:count].copy(), remap
+    key = np.round(verts / max(tol, 1e-12)).astype(np.int64)
+    _, first, remap = np.unique(key, axis=0, return_index=True,
+                                return_inverse=True)
+    return verts[np.sort(first)], remap.astype(np.int32)
+
+
+class AabbTree:
+    """Host-side median-split AABB tree over triangles (bvh.rs tooling
+    equivalent: build + overlap query)."""
+
+    def __init__(self, verts, faces):
+        verts = np.ascontiguousarray(verts, np.float32)
+        faces = np.ascontiguousarray(faces, np.int32)
+        t = faces.shape[0]
+        n_nodes = max(2 * t - 1, 1)
+        self.bounds = np.zeros((n_nodes, 6), np.float32)
+        self.children = np.full((n_nodes, 2), -1, np.int32)
+        self.leaf_face = np.full(n_nodes, -1, np.int32)
+        lib = _load()
+        if lib and t > 0:
+            self.n_nodes = int(lib.aabb_tree_build(
+                verts, verts.shape[0], faces, t, self.bounds,
+                self.children, self.leaf_face))
+            self._native = True
+        else:
+            self._native = False
+            self._verts, self._faces = verts, faces
+            self.n_nodes = 0
+
+    def query(self, center, radius, cap: int = 256) -> np.ndarray:
+        """Face ids whose AABBs overlap the query box (center, radius)."""
+        qc = np.ascontiguousarray(center, np.float32)
+        qr = np.ascontiguousarray(radius, np.float32)
+        if self._native:
+            out = np.empty(cap, np.int32)
+            lib = _load()
+            cnt = lib.aabb_tree_query(self.bounds, self.children,
+                                      self.leaf_face, self.n_nodes, qc, qr,
+                                      out, cap)
+            return out[:cnt].copy()
+        tri = self._verts[self._faces]        # (t, 3, 3)
+        lo = tri.min(1)
+        hi = tri.max(1)
+        hit = np.all((lo <= qc + qr) & (hi >= qc - qr), axis=1)
+        return np.nonzero(hit)[0].astype(np.int32)[:cap]
