@@ -74,6 +74,93 @@ _OFFSETS = [(dx, dy, dz)
             for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
 
 
+class FatGrid(NamedTuple):
+    """A cell table whose buckets carry the occupants' bounds inline:
+    float rows [cx cy cz r_eff idx 0 0 0] — candidate generation + AABB cull
+    then needs NO per-candidate body gather (TPU gathers cost per index;
+    this trades 8x more bytes per *bucket* fetch for 8x fewer indexed
+    fetches overall)."""
+    table: jnp.ndarray      # (dim^3 * cap, 8) float32
+    overflow: jnp.ndarray
+
+
+def build_fat_grid(bounds: AABB, cfg: GridConfig) -> FatGrid:
+    """Bin bodies with their conservative bound radius into the grid."""
+    centers = bounds.c
+    n = centers.x.shape[0]
+    r_eff = jnp.maximum(bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z))
+    cx, cy, cz = _cell_coords(centers, cfg)
+    h = _bucket_index(cx, cy, cz, cfg)
+    order = jnp.argsort(h)
+    sorted_h = h[order]
+    first = jnp.searchsorted(sorted_h, sorted_h, side='left')
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = rank < cfg.bucket_cap
+    rows = jnp.stack([centers.x[order], centers.y[order], centers.z[order],
+                      r_eff[order], order.astype(jnp.float32) + 0.5,
+                      jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)], axis=-1)
+    # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
+    # (cap x 8 floats) so one gather index fetches every occupant.
+    empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
+    table = jnp.broadcast_to(empty, (cfg.dim ** 3 * cfg.bucket_cap, 8))
+    slot = sorted_h * cfg.bucket_cap + jnp.minimum(rank, cfg.bucket_cap - 1)
+    table = table.at[jnp.where(ok, slot, cfg.dim ** 3 * cfg.bucket_cap)]\
+        .set(rows, mode='drop')
+    table = table.reshape(cfg.dim ** 3, cfg.bucket_cap * 8)
+    return FatGrid(table=table, overflow=jnp.sum(~ok).astype(jnp.int32))
+
+
+def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
+                   max_pairs: int, self_rows=None, ordered: bool = True,
+                   query_centers: Vec3 = None):
+    """Candidate partners per body straight from the fat grid: 27 bucket-row
+    gathers (N indices each) -> AABB cull -> top-k by center distance.
+    Replaces neighbor_candidates + refine_pairs with ~8x fewer gather
+    indices.  Returns (partner (N, max_pairs) int32, valid)."""
+    centers = query_centers if query_centers is not None else bounds.c
+    if self_rows is None:
+        self_rows = jnp.arange(centers.x.shape[0], dtype=jnp.int32)
+    cx, cy, cz = _cell_coords(centers, cfg)
+    sx = bounds.c.x[self_rows]
+    sy = bounds.c.y[self_rows]
+    sz = bounds.c.z[self_rows]
+    sr = jnp.maximum(bounds.r.x, jnp.maximum(
+        bounds.r.y, bounds.r.z))[self_rows]
+
+    cands = []
+    scores = []
+    for (dx, dy, dz) in _OFFSETS:
+        h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
+        bucket = grid.table[h]                      # (N, cap*8) ONE gather
+        bucket = bucket.reshape(-1, cfg.bucket_cap, 8)
+        for s in range(cfg.bucket_cap):
+            row = bucket[:, s, :]
+            idx = row[:, 4].astype(jnp.int32)
+            ddx = row[:, 0] - sx
+            ddy = row[:, 1] - sy
+            ddz = row[:, 2] - sz
+            rr = row[:, 3] + sr
+            ok = (row[:, 4] >= 0.0) & (jnp.abs(ddx) <= rr) \
+                & (jnp.abs(ddy) <= rr) & (jnp.abs(ddz) <= rr)
+            if ordered:
+                ok = ok & (idx < self_rows)
+            else:
+                ok = ok & (idx != self_rows)
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            cands.append(jnp.where(ok, idx, -1))
+            scores.append(jnp.where(ok, -d2, -jnp.inf))
+    cand = jnp.stack(cands, axis=1)                 # (N, 27*cap)
+    score = jnp.stack(scores, axis=1)
+    if cand.shape[1] <= max_pairs:
+        pad = max_pairs - cand.shape[1]
+        partner = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+        return partner, partner >= 0
+    top, pick = jax.lax.top_k(score, max_pairs)
+    partner = jnp.take_along_axis(cand, pick, axis=1)
+    valid = jnp.isfinite(top)
+    return jnp.where(valid, partner, -1), valid
+
+
 def neighbor_candidates(centers: Vec3, table: GridTable, cfg: GridConfig):
     """(N, 27*bucket_cap) candidate partner indices (-1 = empty slot)."""
     cx, cy, cz = _cell_coords(centers, cfg)

@@ -38,7 +38,7 @@ from mgf_tpu.math3d import (
     vzeros_like, where_vec,
 )
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")
 
 
 # ---------------------------------------------------------------------------

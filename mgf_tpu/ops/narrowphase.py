@@ -1,0 +1,130 @@
+"""Fused sphere-sphere narrowphase as a Pallas TPU kernel.
+
+Computes Contact(a, b, n, t, valid) for P pairs of swept spheres from two
+component-major (8, P) blocks [x y z dx dy dz r _] — the math of
+``collision.contact_sphere_moving_sphere`` + the moving-moving reduction
+(collision.rs:1089-1141 + 1387-1401), evaluated tile-by-tile in VMEM so the
+~40 intermediates never round-trip HBM.
+
+The kernel body re-expresses the branch-free math with float masks (Mosaic
+currently rejects some i1 select/truncation patterns); the jnp path in
+``collision.py`` stays the source of truth and the test suite asserts both
+paths agree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mgf_tpu.collision import (
+    Contact, contact_moving_moving, contact_sphere_moving_sphere,
+)
+from mgf_tpu.geom import Sphere
+from mgf_tpu.math3d import Vec3
+
+_TILE = 4096
+
+
+def _contact_math_jnp(ga, gb):
+    """Reference jnp path on (8, …) component-major rows."""
+    sa = Sphere(c=Vec3(ga[0], ga[1], ga[2]), r=ga[6])
+    sb = Sphere(c=Vec3(gb[0], gb[1], gb[2]), r=gb[6])
+    va = Vec3(ga[3], ga[4], ga[5])
+    vb = Vec3(gb[3], gb[4], gb[5])
+    return contact_moving_moving(contact_sphere_moving_sphere, sa, va, sb, vb)
+
+
+def _kernel(ga_ref, gb_ref, o1_ref, o2_ref):
+    """Float-mask transcription of sphere x moving-sphere (+ rel-velocity
+    reduction + advection), collision.rs:1089-1141/1387-1401."""
+    ga = ga_ref[:]
+    gb = gb_ref[:]
+    ax, ay, az, r1 = ga[0], ga[1], ga[2], ga[6]
+    bx, by, bz, r2 = gb[0], gb[1], gb[2], gb[6]
+    vx = gb[3] - ga[3]
+    vy = gb[4] - ga[4]
+    vz = gb[5] - ga[5]
+
+    def sel(m, t, f):
+        return m * t + (1.0 - m) * f
+
+    def mask(cond):
+        return jnp.where(cond, 1.0, 0.0)
+
+    r = r1 + r2
+    dx, dy, dz = bx - ax, by - ay, bz - az
+    len2 = dx * dx + dy * dy + dz * dz
+    v2 = vx * vx + vy * vy + vz * vz
+    m_over = mask(len2 <= r * r)
+    m_len0 = mask(len2 == 0.0)
+    m_vok = mask(v2 != 0.0)
+
+    inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
+    inv_v = jax.lax.rsqrt(jnp.maximum(v2, 1e-30))
+    # overlap normal: d/|d|, or -v/|v| when coincident
+    nox = sel(m_len0, -vx * inv_v, dx * inv_len)
+    noy = sel(m_len0, -vy * inv_v, dy * inv_len)
+    noz = sel(m_len0, -vz * inv_v, dz * inv_len)
+    oax, oay, oaz = ax + nox * r1, ay + noy * r1, az + noz * r1
+    obx, oby, obz = bx - nox * r2, by - noy * r2, bz - noz * r2
+    over_valid = sel(m_len0, m_vok, 1.0)
+
+    # sweep: ray from a along -v vs sphere(b, r) (intersect_sphere)
+    mx, my, mz = ax - bx, ay - by, az - bz
+    a_q = v2
+    b_q = -(mx * vx + my * vy + mz * vz)
+    c_q = len2 - r * r
+    disc = b_q * b_q - a_q * c_q
+    sdisc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = jnp.maximum((-b_q - sdisc) / jnp.maximum(a_q, 1e-30), 0.0)
+    hit = (mask(disc >= 0.0) * mask(a_q > 0.0) * mask(t <= 1.0)
+           * (1.0 - mask(c_q > 0.0) * mask(b_q > 0.0)))
+    ex, ey, ez = bx + vx * t - ax, by + vy * t - ay, bz + vz * t - az
+    e2 = ex * ex + ey * ey + ez * ez
+    inv_e = jax.lax.rsqrt(jnp.maximum(e2, 1e-30))
+    nsx, nsy, nsz = ex * inv_e, ey * inv_e, ez * inv_e
+    sax, say, saz = ax + nsx * r1, ay + nsy * r1, az + nsz * r1
+
+    # select overlap vs sweep, then advect by va * t
+    t_out = sel(m_over, 0.0, t)
+    valid = sel(m_over, over_valid, m_vok * hit)
+    cax = sel(m_over, oax, sax) + ga[3] * t_out
+    cay = sel(m_over, oay, say) + ga[4] * t_out
+    caz = sel(m_over, oaz, saz) + ga[5] * t_out
+    cbx = sel(m_over, obx, sax) + ga[3] * t_out
+    cby = sel(m_over, oby, say) + ga[4] * t_out
+    cbz = sel(m_over, obz, saz) + ga[5] * t_out
+    nx = sel(m_over, nox, nsx)
+    ny = sel(m_over, noy, nsy)
+    nz = sel(m_over, noz, nsz)
+
+    o1_ref[:] = jnp.stack([cax, cay, caz, cbx, cby, cbz, t_out, valid],
+                          axis=0)
+    z = jnp.zeros_like(nx)
+    o2_ref[:] = jnp.stack([nx, ny, nz, z, z, z, z, z], axis=0)
+
+
+def sphere_contact_pairs(ga8, gb8, use_pallas: bool = True) -> Contact:
+    """Contact for P sphere pairs from component-major (8, P) blocks."""
+    P = ga8.shape[1]
+    if not use_pallas or P % _TILE != 0:
+        return _contact_math_jnp(ga8, gb8)
+
+    grid = (P // _TILE,)
+    spec = pl.BlockSpec((8, _TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    o1, o2 = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((8, P), jnp.float32)],
+    )(ga8, gb8)
+    return Contact(a=Vec3(o1[0], o1[1], o1[2]),
+                   b=Vec3(o1[3], o1[4], o1[5]),
+                   n=Vec3(o2[0], o2[1], o2[2]),
+                   t=o1[6], valid=o1[7] > 0.5)

@@ -80,13 +80,13 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         # ---- broadphase: replicated table, local candidate rows ----
         bounds_g = broadphase.swept_fat_bounds(
             _body_bounds(cfg, gview), gview.delta, cfg.fatten)
-        table = broadphase.build_grid(bounds_g.c, cfg.grid)
+        grid = broadphase.build_fat_grid(bounds_g, cfg.grid)
         local_centers = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, row0, n_loc),
             bounds_g.c)
-        cand = broadphase.neighbor_candidates(local_centers, table, cfg.grid)
-        partner, pair_ok = broadphase.refine_pairs(
-            bounds_g, cand, cfg.max_pairs, self_rows=rows_g, ordered=False)
+        partner, pair_ok = broadphase.fat_grid_pairs(
+            bounds_g, grid, cfg.grid, cfg.max_pairs, self_rows=rows_g,
+            ordered=False, query_centers=local_centers)
 
         # ---- narrowphase over local candidate rows ----
         prow = jnp.broadcast_to(rows_g[:, None], partner.shape).reshape(-1)
@@ -227,7 +227,7 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         state = state._replace(v=v_new, omega=o_new)
 
         metrics = {
-            "broadphase_overflow": table.overflow,
+            "broadphase_overflow": grid.overflow,
             "num_pairs": jax.lax.psum(jnp.sum(pair_valid), axis),
             "num_contacts": jax.lax.psum(jnp.sum(rc.valid), axis),
         }

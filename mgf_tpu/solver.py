@@ -443,22 +443,32 @@ def unpack_body_state(S):
 
 def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                inv_moment: Mat3, iters: int,
-               friction_mode: str = "textbook", two_phase: bool = True):
+               friction_mode: str = "textbook", two_phase: bool = True,
+               inner_iters: int = 1):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
     rows; only the first N (= rc.partner.shape[1]) bodies are updated.
-    Returns updated (v, omega) for all M rows (statics unchanged)."""
+    Returns updated (v, omega) for all M rows (statics unchanged).
+
+    ``inner_iters`` > 1 runs block-Jacobi inner sweeps with partner
+    velocities frozen between gathers (the partner-state gather is the
+    expensive op on TPU) — ``iters`` x ``inner_iters`` total sweeps with
+    ``iters`` gathers.
+    """
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
     ima = inv_mass[:n]
     Ia = inv_moment[:n]
 
-    def rel_vel(S):
+    def partner_term(S):
         g = S[:, rc.partner]                        # (8, R, N) one gather
         vb = Vec3(g[0], g[1], g[2])
         ob = Vec3(g[3], g[4], g[5])
+        return vb + cross(ob, rc.rb)
+
+    def self_term(S):
         va = Vec3(S[0, :n][None], S[1, :n][None], S[2, :n][None])
         oa = Vec3(S[3, :n][None], S[4, :n][None], S[5, :n][None])
-        return (vb + cross(ob, rc.rb)) - (va + cross(oa, rc.ra))
+        return va + cross(oa, rc.ra)
 
     def apply_self(S, imp: Vec3):
         """Row bodies receive -impulse (self is side a)."""
@@ -472,18 +482,28 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
 
     def sweep(carry, _):
         S, acc_n, acc_t1, acc_t2 = carry
-        dv = rel_vel(S)
-        f1, f2, acc_t1, acc_t2 = _friction_impulses(rc, dv, acc_t1, acc_t2,
-                                                    friction_mode, acc_n)
-        if two_phase:
-            S = apply_self(S, rc.t1 * f1 + rc.t2 * f2)
-            dv = rel_vel(S)
-            fn, acc_n = _normal_impulse(rc, dv, acc_n)
-            S = apply_self(S, rc.normal * fn)
+        frozen = partner_term(S)
+
+        def inner(carry2, _):
+            S, acc_n, acc_t1, acc_t2 = carry2
+            dv = frozen - self_term(S)
+            f1, f2, acc_t1, acc_t2 = _friction_impulses(
+                rc, dv, acc_t1, acc_t2, friction_mode, acc_n)
+            if two_phase:
+                S = apply_self(S, rc.t1 * f1 + rc.t2 * f2)
+                dv = frozen - self_term(S)
+                fn, acc_n = _normal_impulse(rc, dv, acc_n)
+                S = apply_self(S, rc.normal * fn)
+            else:
+                fn, acc_n = _normal_impulse(rc, dv, acc_n)
+                S = apply_self(S, rc.t1 * f1 + rc.t2 * f2 + rc.normal * fn)
+            return (S, acc_n, acc_t1, acc_t2), None
+
+        if inner_iters == 1:
+            carry, _ = inner(carry, None)
         else:
-            fn, acc_n = _normal_impulse(rc, dv, acc_n)
-            S = apply_self(S, rc.t1 * f1 + rc.t2 * f2 + rc.normal * fn)
-        return (S, acc_n, acc_t1, acc_t2), None
+            carry, _ = jax.lax.scan(inner, carry, None, length=inner_iters)
+        return carry, None
 
     zero = jnp.zeros(rc.valid.shape, jnp.float32)
     (S, _, _, _), _ = jax.lax.scan(

@@ -60,6 +60,8 @@ class WorldConfig(NamedTuple):
     solver: str = "rows"             # "rows" | "parallel" | "sequential"
     friction_mode: str = "textbook"  # see solver.py docstring
     two_phase: bool = True           # rows solver: friction/normal phases
+    solver_inner: int = 1            # rows solver: inner sweeps per gather
+    broadphase: str = "packed"       # "packed" | "fat" candidate culling
 
 
 class World(NamedTuple):
@@ -252,15 +254,22 @@ def step(world: World, cfg: WorldConfig):
     # ---- broadphase (replaces fat-proxy BVH refit + query) ----
     bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, sv), state.delta,
                                          cfg.fatten)
-    if cfg.use_grid:
+    if cfg.use_grid and cfg.broadphase == "fat":
+        grid = broadphase.build_fat_grid(bounds, cfg.grid)
+        partner, pair_ok = broadphase.fat_grid_pairs(
+            bounds, grid, cfg.grid, cfg.max_pairs, ordered=not rows_form)
+        overflow = grid.overflow
+    elif cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid)
         cand = broadphase.neighbor_candidates(bounds.c, table, cfg.grid)
+        partner, pair_ok = broadphase.refine_pairs(
+            bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = table.overflow
     else:
         cand = broadphase.all_pairs_candidates(n)
+        partner, pair_ok = broadphase.refine_pairs(
+            bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = jnp.int32(0)
-    partner, pair_ok = broadphase.refine_pairs(bounds, cand, cfg.max_pairs,
-                                               ordered=not rows_form)
 
     # ---- body-body narrowphase over the flattened partner matrix ----
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
@@ -371,7 +380,7 @@ def step(world: World, cfg: WorldConfig):
         v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
                               bodies_ext.inv_mass, bodies_ext.inv_moment,
                               cfg.solver_iters, cfg.friction_mode,
-                              cfg.two_phase)
+                              cfg.two_phase, cfg.solver_inner)
         num_contacts = jnp.sum(rc.valid)
         num_constraints = rc.valid.size
     else:
