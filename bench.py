@@ -17,6 +17,19 @@ import jax
 import numpy as np
 
 
+def _nonce(world, i):
+    """Multiplicatively perturb the constant force by ~1e-6 per step (large enough to change f32 bits).
+
+    The axon tunnel memoizes repeated executions whose inputs it considers
+    unchanged; a per-step value nonce guarantees every timed step really
+    executes on the device.  1e-6 relative force jitter is far below simulation scales.
+    """
+    import jax.numpy as jnp
+    scale = jnp.float32(1.0 + 1e-6 * ((i % 64) + 1))
+    b = world.bodies
+    return world._replace(bodies=b._replace(force=b.force * scale))
+
+
 def time_steps(world, cfg, warmup, iters):
     from mgf_tpu.world import make_step_fn
     f = make_step_fn(cfg)
@@ -25,15 +38,18 @@ def time_steps(world, cfg, warmup, iters):
     world, m = f(world)
     jax.block_until_ready(world)
     compile_s = time.perf_counter() - t0
-    for _ in range(warmup):
-        world, m = f(world)
+    for i in range(warmup):
+        world, m = f(_nonce(world, i))
     jax.block_until_ready(world)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        world, m = f(world)
-    jax.block_until_ready(world)
+    for i in range(iters):
+        world, m = f(_nonce(world, i))
+    # host transfer as the completion barrier: on the axon tunnel,
+    # block_until_ready alone has been observed to return before the device
+    # work is actually complete; materializing a value cannot.
+    y = np.asarray(world.bodies.x.y)
     dt = time.perf_counter() - t0
-    assert not bool(np.isnan(np.asarray(world.bodies.x.y)).any()), "NaN"
+    assert not bool(np.isnan(y).any()), "NaN"
     return iters / dt, compile_s, world, m
 
 

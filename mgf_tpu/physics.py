@@ -198,6 +198,10 @@ class SceneBuilder:
                     gravity=(0.0, -9.8, 0.0)):
         """Vectorized sphere batch: centers (B,3); scalars broadcast."""
         centers = np.atleast_2d(np.asarray(centers, np.float32))
+        if np.any(np.asarray(radii) <= 0.0):
+            raise ValueError("sphere radius must be > 0 (geom.rs:300)")
+        if np.any(np.asarray(mass) <= 0.0):
+            raise ValueError("mass must be > 0")
         b = centers.shape[0]
         br = lambda s: np.broadcast_to(np.asarray(s, np.float32), (b,)).copy()
         self._batches.append(dict(
@@ -215,6 +219,10 @@ class SceneBuilder:
         rot = from_arc(y, d))."""
         a = np.atleast_2d(np.asarray(a, np.float64))
         d = np.atleast_2d(np.asarray(d, np.float64))
+        if np.any(np.asarray(radii) <= 0.0):
+            raise ValueError("capsule radius must be > 0 (geom.rs:329)")
+        if np.any(np.asarray(mass) <= 0.0):
+            raise ValueError("mass must be > 0")
         d = np.broadcast_to(d, a.shape)
         b = a.shape[0]
         br = lambda s: np.broadcast_to(np.asarray(s, np.float32), (b,)).copy()

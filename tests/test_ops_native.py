@@ -1,0 +1,100 @@
+"""Pallas kernel parity + native (C++) host runtime tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _pair_blocks(P, seed=0):
+    k1, k2 = jax.random.PRNGKey(seed), jax.random.PRNGKey(seed + 1)
+    ga = jax.random.normal(k1, (8, P))
+    gb = jax.random.normal(k2, (8, P))
+    ga = ga.at[6].set(jnp.abs(ga[6]) + 0.1)
+    gb = gb.at[6].set(jnp.abs(gb[6]) + 0.1)
+    return ga, gb
+
+
+def test_pallas_sphere_contthan_jnp_parity():
+    from mgf_tpu.ops import sphere_contact_pairs
+    ga, gb = _pair_blocks(4096)
+    try:
+        cp = sphere_contact_pairs(ga, gb, use_pallas=True)
+        jax.block_until_ready(cp)
+    except Exception:
+        pytest.skip("pallas TPU kernels unavailable on this backend")
+    cj = sphere_contact_pairs(ga, gb, use_pallas=False)
+    assert bool((cp.valid == cj.valid).all())
+    m = np.asarray(cj.valid)
+    np.testing.assert_allclose(np.asarray(cp.t)[m], np.asarray(cj.t)[m],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cp.a.x)[m], np.asarray(cj.a.x)[m],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cp.n.y)[m], np.asarray(cj.n.y)[m],
+                               atol=1e-4)
+
+
+def test_native_morton_and_weld():
+    from mgf_tpu.native import morton_order, weld_vertices
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    order = morton_order(pos)
+    assert sorted(order.tolist()) == list(range(500))
+    # morton neighbors should be spatially close on average vs random order
+    d_m = np.linalg.norm(np.diff(pos[order], axis=0), axis=1).mean()
+    d_r = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+    assert d_m < d_r
+
+    verts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    doubled = np.vstack([verts, verts + 1e-9])
+    welded, remap = weld_vertices(doubled, tol=1e-6)
+    assert welded.shape[0] == 100
+    assert remap.shape[0] == 200
+
+
+def test_native_cell_table_and_tree():
+    from mgf_tpu.native import AabbTree, build_cell_table
+    verts = np.asarray([[-10, 0, -10], [-10, 0, 10], [10, 0, 10],
+                        [10, 0, -10], [0, 5, 0]], np.float32)
+    faces = np.asarray([[0, 1, 3], [1, 2, 3], [0, 1, 4]], np.int32)
+    table, overflow = build_cell_table(verts, faces, 8.0, 16, 4)
+    assert overflow == 0
+    assert (table >= 0).sum() == 3
+
+    tree = AabbTree(verts, faces)
+    hits = sorted(tree.query([0, 0, 0], [1, 1, 1]).tolist())
+    # floor faces + the big slanted face's AABB all overlap the origin box
+    assert hits == [0, 1, 2]
+    hits = sorted(tree.query([0, 4, 0], [2, 2, 2]).tolist())
+    assert hits == [2]
+
+
+def test_queries():
+    from helpers import V, F
+    from mgf_tpu.geom import AABB
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.queries import query_aabb, raytrace_bodies, raytrace_mesh
+    from mgf_tpu.mesh import mesh_from_arrays
+
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 0), 1.0, 1.0, 0.0, 0.5, gravity=(0, 0, 0))
+    b.add_sphere((5, 0, 0), 1.0, 1.0, 0.0, 0.5, gravity=(0, 0, 0))
+    b.add_capsule((10, -1, 0), (0, 2, 0), 0.5, 1.0, 0.0, 0.5,
+                  gravity=(0, 0, 0))
+    state = b.build()
+
+    mask = query_aabb(state, AABB(c=V(0, 0, 0), r=V(2, 2, 2)))
+    assert mask.tolist() == [True, False, False]
+
+    inter, idx = raytrace_bodies(state, V(-5, 0, 0), V(1, 0, 0))
+    assert bool(inter.hit) and int(idx) == 0
+    assert float(inter.t) == pytest.approx(4.0, abs=1e-4)
+    inter, idx = raytrace_bodies(state, V(20, 0, 0), V(-1, 0, 0))
+    assert bool(inter.hit) and int(idx) == 2
+    assert float(inter.t) == pytest.approx(9.5, abs=1e-4)
+
+    m = mesh_from_arrays([(-1, 0, -1), (-1, 0, 1), (1, 0, 1), (1, 0, -1)],
+                         [(0, 1, 3), (1, 2, 3)])
+    inter, face = raytrace_mesh(m, V(0.5, 3.0, 0.5), V(0, -1, 0))
+    assert bool(inter.hit)
+    assert float(inter.t) == pytest.approx(3.0, abs=1e-5)
