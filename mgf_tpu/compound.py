@@ -176,3 +176,40 @@ def compound_inertia(c: Compound, mass) -> Mat3:
     t = Mat3(*(jnp.where(sel, a, b) for a, b in zip(t_sph, t_cap)))
     total = Mat3(*(comp.sum(axis=0) for comp in t))
     return mat_inv3(total)
+
+
+def compound_contacts_polygon(c: Compound, poly, v: Vec3) -> Contact:
+    """Contacts between a Compound and a moving Triangle/Rectangle
+    (Contacts<RHS> for Compound with a polygon RHS, compound.rs:334-352:
+    every component collides the moving polygon; results are flipped so the
+    compound is the receiver).  Returns slots (2, P) over components."""
+    from mgf_tpu.collision import (
+        contact_rectangle_moving_capsule, contact_rectangle_moving_sphere,
+        contact_sphere_moving_capsule, contact_stack,
+        contact_triangle_moving_capsule, contact_triangle_moving_sphere,
+        contact_moving_static, contact_advect,
+    )
+    from mgf_tpu.geom import Rectangle, Triangle
+
+    spheres, capsules, kind = compound_world_components(c)
+    P = c.n_parts
+    b = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (P,) + jnp.shape(x)), t)
+    polyb = b(poly)
+    vb = b(v)
+    # the reference dispatches rhs.contacts(&component_shape): the polygon is
+    # the receiver of a component moving at -v, advected + flipped twice
+    # (compound commute) -> net: polygon receiver vs component swept by -v,
+    # then advect by v*t and flip so the compound is side a.
+    if isinstance(poly, Triangle):
+        f_s = contact_triangle_moving_sphere
+        f_c = contact_triangle_moving_capsule
+    else:
+        f_s = contact_rectangle_moving_sphere
+        f_c = contact_rectangle_moving_capsule
+    cs = f_s(polyb, spheres, -vb)
+    cs2 = contact_stack([cs, cs._replace(valid=jnp.zeros_like(cs.valid))])
+    cc = f_c(polyb, capsules, -vb)
+    out = contact_select((kind == SHAPE_SPHERE)[None, :], cs2, cc)
+    out = contact_advect(out, vb * out.t)
+    return contact_neg(out)

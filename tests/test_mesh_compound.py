@@ -134,3 +134,20 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(w.bodies.x.y))
     np.testing.assert_allclose(np.asarray(w2.terrain.a.x),
                                np.asarray(w.terrain.a.x))
+
+
+def test_compound_vs_moving_rect():
+    # compound.rs:379-387: compound vs a rect moving up at (0, 3, 0)
+    from mgf_tpu.compound import compound_contacts_polygon
+    comp = compound_from_parts([
+        dict(kind="sphere", center=(-5.0, 0.0, 0.0), r=1.0),
+        dict(kind="sphere", center=(5.0, 0.0, 0.0), r=1.0)])
+    rect = Rectangle(c=V(0.0, -2.0, 0.0), u0=V(1, 0, 0), u1=V(0, 0, 1),
+                     e0=F(6.0), e1=F(6.0))
+    out = compound_contacts_polygon(comp, rect, V(0.0, 3.0, 0.0))
+    v = np.asarray(out.valid)
+    assert v.any()
+    k = tuple(np.argwhere(v)[0])
+    # gap 1 closed at speed 3 -> t = 1/3; contact on the sphere bottom
+    assert float(out.t[k]) == pytest.approx(1.0 / 3.0, abs=1e-5)
+    assert float(out.a.y[k]) == pytest.approx(-1.0, abs=1e-4)

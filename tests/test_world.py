@@ -28,6 +28,7 @@ def test_balls_mini_settles():
     assert y.min() > -10.0 and y.max() < 0.0
     assert np.abs(vy).max() < 1.0
     assert int(m["num_contacts"]) > 0
+    assert int(m["broadphase_overflow"]) == 0
 
 
 def test_capsules_mini_steps():
@@ -39,6 +40,7 @@ def test_capsules_mini_steps():
     assert not np.isnan(y).any()
     assert y.min() > -10.0
     assert int(m["num_contacts"]) > 0
+    assert int(m["broadphase_overflow"]) == 0
 
 
 def test_mixed_mini_steps():
