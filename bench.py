@@ -17,36 +17,37 @@ import jax
 import numpy as np
 
 
-def _nonce(world, i):
-    """Multiplicatively perturb the constant force by ~1e-6 per step (large enough to change f32 bits).
-
-    The axon tunnel memoizes repeated executions whose inputs it considers
-    unchanged; a per-step value nonce guarantees every timed step really
-    executes on the device.  1e-6 relative force jitter is far below simulation scales.
-    """
-    import jax.numpy as jnp
-    scale = jnp.float32(1.0 + 1e-6 * ((i % 64) + 1))
-    b = world.bodies
-    return world._replace(bodies=b._replace(force=b.force * scale))
-
-
 def time_steps(world, cfg, warmup, iters):
-    from mgf_tpu.world import make_step_fn
-    f = make_step_fn(cfg)
+    """Time steps with two integrity measures for the axon tunnel:
+
+    * a per-step in-jit force nonce (~1e-6 relative, below simulation
+      scales) so the tunnel's unchanged-input memoizer cannot replay steps;
+    * a host transfer as the completion barrier (block_until_ready has been
+      observed to resolve before device work completes here).
+    """
+    import functools
+    import jax.numpy as jnp
+    from mgf_tpu.world import step
+
+    def stepped(world, scale, cfg):
+        b = world.bodies
+        world = world._replace(bodies=b._replace(force=b.force * scale))
+        return step(world, cfg)
+
+    f = jax.jit(functools.partial(stepped, cfg=cfg))
+    scales = [np.float32(1.0 + 1e-6 * ((i % 64) + 1))
+              for i in range(max(warmup, iters) + 1)]
     m = None
     t0 = time.perf_counter()
-    world, m = f(world)
+    world, m = f(world, scales[0])
     jax.block_until_ready(world)
     compile_s = time.perf_counter() - t0
     for i in range(warmup):
-        world, m = f(_nonce(world, i))
-    jax.block_until_ready(world)
+        world, m = f(world, scales[i])
+    _ = np.asarray(world.bodies.x.y)
     t0 = time.perf_counter()
     for i in range(iters):
-        world, m = f(_nonce(world, i))
-    # host transfer as the completion barrier: on the axon tunnel,
-    # block_until_ready alone has been observed to return before the device
-    # work is actually complete; materializing a value cannot.
+        world, m = f(world, scales[i])
     y = np.asarray(world.bodies.x.y)
     dt = time.perf_counter() - t0
     assert not bool(np.isnan(y).any()), "NaN"
@@ -69,7 +70,8 @@ def main():
     if not args.quick:
         try:
             w, cfg = balls_scene()
-            sps, comp, _, m = time_steps(w, cfg, warmup=30, iters=60)
+            # warm until the pile has landed (contact-rich regime)
+            sps, comp, _, m = time_steps(w, cfg, warmup=180, iters=60)
             secondary["balls_1332_steps_per_sec"] = round(sps, 1)
             secondary["balls_compile_s"] = round(comp, 1)
         except Exception as e:  # pragma: no cover
@@ -77,7 +79,7 @@ def main():
     if args.full:
         try:
             w, cfg = capsules_scene()
-            sps, comp, _, m = time_steps(w, cfg, warmup=30, iters=60)
+            sps, comp, _, m = time_steps(w, cfg, warmup=280, iters=60)
             secondary["capsules_1331_steps_per_sec"] = round(sps, 1)
         except Exception as e:  # pragma: no cover
             secondary["capsules_error"] = repr(e)[:200]

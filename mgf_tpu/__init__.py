@@ -28,5 +28,15 @@ from mgf_tpu import geom
 from mgf_tpu import bounds
 from mgf_tpu import collision
 from mgf_tpu.collision import Contact, LocalContact, Intersection
+from mgf_tpu import gjk
+from mgf_tpu import manifold
+from mgf_tpu import physics
+from mgf_tpu import solver
+from mgf_tpu import broadphase
+from mgf_tpu import mesh
+from mgf_tpu import compound
+from mgf_tpu import queries
+from mgf_tpu import world
+from mgf_tpu import scenes
 
 __version__ = "0.2.0"
