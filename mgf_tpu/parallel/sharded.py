@@ -141,8 +141,9 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
                 local_a=tc.a - (gt.x + gt.delta * tc.t),
                 local_b=tc.b - terrain_center,
                 contact=tc)
-            blocks.append(man_to_rows(prune(t_lc, max_contacts=2), n_tris))
-            partners.append(jnp.full((2 * n_tris, n_loc), n_glob,
+            blocks.append(man_to_rows(prune(t_lc, max_contacts=n_slots),
+                                      n_tris))
+            partners.append(jnp.full((n_slots * n_tris, n_loc), n_glob,
                                      jnp.int32))
 
         man_rows = jax.tree_util.tree_map(
@@ -223,7 +224,9 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
                                + rc.normal * fn)
             return (S_loc, acc_n, acc_t1, acc_t2), None
 
-        zero = jnp.zeros(rc.valid.shape, jnp.float32)
+        # accumulators seeded from a device-varying array so the scan carry
+        # has consistent varying-across-mesh types under the new shard_map
+        zero = rc.bias * 0.0
         (S_loc, _, _, _), _ = jax.lax.scan(
             sweep, (S_loc, zero, zero, zero), None, length=cfg.solver_iters)
         v_new, o_new = unpack_body_state(S_loc)
@@ -236,11 +239,17 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         }
         return state, metrics
 
-    sharded = shard_map(
-        _local_step, mesh=mesh,
-        in_specs=(P(axis), P(), P()),
-        out_specs=(P(axis), P()),
-        check_rep=False)
+    try:
+        sharded = shard_map(
+            _local_step, mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P()))
+    except TypeError:  # older jax requires check_rep=False for our metrics
+        sharded = shard_map(
+            _local_step, mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P()),
+            check_rep=False)
 
     @jax.jit
     def step_fn(world: World):

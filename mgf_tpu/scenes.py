@@ -131,6 +131,6 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
         dt=1.0 / 60.0, solver_iters=10, solver_inner=2, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
         solver="rows",
-        grid=GridConfig(cell_size=1.6, dim=128, bucket_cap=10),
+        grid=GridConfig(cell_size=1.6, dim=128, bucket_cap=8),
         max_pairs=12, fatten=0.25)
     return world, cfg

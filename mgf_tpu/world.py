@@ -308,8 +308,9 @@ def step(world: World, cfg: WorldConfig):
             local_b=tc.b - world.terrain_center,
             contact=tc)
         # each terrain LocalContact is its own constraint (world.rs:240-253);
-        # prune only merges a single (body,tri) pair's 2 slots
-        manifolds.append(prune(t_lc, max_contacts=2))
+        # prune only merges a single (body,tri) pair's 2 slots (spheres emit
+        # at most 1 contact per triangle - don't waste solver rows on slot 2)
+        manifolds.append(prune(t_lc, max_contacts=n_slots))
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
 
@@ -362,7 +363,8 @@ def step(world: World, cfg: WorldConfig):
             (pair_manifold.valid.shape[0], K, n)).reshape(-1, n)]
         if n_tris > 0:
             blocks.append(man_to_rows(manifolds[1], n_tris))
-            partners.append(jnp.full((2 * n_tris, n), n, jnp.int32))
+            partners.append(jnp.full((n_slots * n_tris, n), n,
+                                     jnp.int32))
 
         man_rows = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *blocks)
