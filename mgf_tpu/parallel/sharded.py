@@ -232,8 +232,12 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         v_new, o_new = unpack_body_state(S_loc)
         state = state._replace(v=v_new, omega=o_new)
 
+        n_dev = jax.lax.psum(1, axis)
         metrics = {
-            "broadphase_overflow": grid.overflow,
+            # overflow is identical on every device (computed from the
+            # all-gathered table); average through a psum so the new
+            # shard_map can prove the P() out_spec replication
+            "broadphase_overflow": jax.lax.psum(grid.overflow, axis) // n_dev,
             "num_pairs": jax.lax.psum(jnp.sum(pair_valid), axis),
             "num_contacts": jax.lax.psum(jnp.sum(rc.valid), axis),
         }
