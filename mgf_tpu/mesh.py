@@ -118,10 +118,10 @@ def build_mesh_grid(m: Mesh, cell_size: float, dim: int = 64,
     mmask = dim - 1
     h = (((cc(c.x) & mmask) * dim + (cc(c.y) & mmask)) * dim
          + (cc(c.z) & mmask))
+    from mgf_tpu.broadphase import _bucket_ranks
     order = jnp.argsort(h)
     sorted_h = h[order]
-    first = jnp.searchsorted(sorted_h, sorted_h, side='left')
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = _bucket_ranks(sorted_h, n)
     ok = rank < cap
     table = jnp.full((dim ** 3, cap), -1, jnp.int32)
     table = table.at[sorted_h, jnp.minimum(rank, cap - 1)].set(
