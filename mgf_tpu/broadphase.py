@@ -177,8 +177,11 @@ def neighbor_candidates(centers: Vec3, table: GridTable, cfg: GridConfig):
     """(N, 27*bucket_cap) candidate partner indices (-1 = empty slot)."""
     cx, cy, cz = _cell_coords(centers, cfg)
     cols = []
-    # 27 separate (N, cap) gathers: one fused (N, 27, cap) gather forces a
-    # layout whose downstream reshape pads 128x and OOMs HBM at 100k bodies.
+    # 27 separate (N, cap) gathers.  Measured alternatives that do NOT help:
+    # one fused (N, 27, cap) gather (XLA picks a layout whose downstream
+    # reshape pads 128x and OOMs HBM at 100k) and a transposed-table
+    # (cap, dim^3) trailing-axis gather (2x faster isolated, identical
+    # in-situ once the transposes are paid).
     for (dx, dy, dz) in _OFFSETS:
         h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
         cols.append(table.table[h])            # (N, bucket_cap)
