@@ -27,6 +27,8 @@ def main():
                     choices=["rows", "parallel", "sequential"])
     ap.add_argument("--save", default=None,
                     help="save the trajectory (positions per frame) to .npz")
+    ap.add_argument("--render", default=None,
+                    help="render the final frame to a .ppm image")
     args = ap.parse_args()
 
     from mgf_tpu.scenes import balls_scene
@@ -59,6 +61,10 @@ def main():
     if args.save:
         np.savez_compressed(args.save, x=np.stack(frames))
         print(f"saved trajectory to {args.save}")
+    if args.render:
+        from render import render_world
+        render_world(world, path=args.render)
+        print(f"rendered final frame to {args.render}")
 
 
 if __name__ == "__main__":

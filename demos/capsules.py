@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--num", type=int, default=11)
+    ap.add_argument("--render", default=None,
+                    help="render the final frame to a .ppm image")
     args = ap.parse_args()
 
     from mgf_tpu.scenes import capsules_scene
@@ -47,6 +49,10 @@ def main():
     print()
     y = np.asarray(world.bodies.x.y)
     print(f"done: y range [{y.min():.2f}, {y.max():.2f}]")
+    if args.render:
+        from render import render_world
+        render_world(world, path=args.render)
+        print(f"rendered final frame to {args.render}")
 
 
 if __name__ == "__main__":

@@ -394,6 +394,26 @@ def rotate_capsule(c: Capsule, q: Quat) -> Capsule:
                    r=c.r)
 
 
+_ROTATE = {}        # populated below; Volumetric::rotate dispatch table
+
+
+def rotate_about(shape, q: Quat, origin: Vec3):
+    """Volumetric::rotate_about (geom.rs:930-939): rotate a shape about an
+    arbitrary point — translate the center into the origin frame, rotate it,
+    rotate the shape about its own center, and recenter."""
+    rot, center, set_pos = _ROTATE[type(shape)]
+    new_c = qrotate(q, center(shape) - origin) + origin
+    return set_pos(rot(shape, q), new_c)
+
+
+def _aabb_set_pos(b: AABB, p: Vec3) -> AABB:
+    return b._replace(c=p)
+
+
+def _obb_set_pos(b: OBB, p: Vec3) -> OBB:
+    return b._replace(c=p)
+
+
 # ---------------------------------------------------------------------------
 # support functions (Convex, geom.rs:1017-1072)
 # ---------------------------------------------------------------------------
@@ -452,3 +472,13 @@ def compute_basis(n: Vec3):
     b = where_vec(use_x, Vec3(n.y, -n.x, zero), Vec3(zero, n.z, -n.y))
     b = safe_normalize(b)
     return b, cross(n, b)
+
+
+# Volumetric dispatch rows: (rotate, center, set_pos) per shape type
+# (geom.rs:928-1014).
+_ROTATE.update({
+    Sphere: (rotate_sphere, lambda s: s.c, sphere_set_pos),
+    Capsule: (rotate_capsule, capsule_center, capsule_set_pos),
+    AABB: (rotate_aabb, lambda b: b.c, _aabb_set_pos),
+    OBB: (rotate_obb, lambda b: b.c, _obb_set_pos),
+})
