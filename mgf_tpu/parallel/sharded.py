@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mgf_tpu import broadphase
 from mgf_tpu.collision import LocalContact
 from mgf_tpu.manifold import Manifold, prune
-from mgf_tpu.math3d import Vec3, cross, mat_vec
+from mgf_tpu.math3d import Vec3, cross, dot, mat_vec
 from mgf_tpu.physics import RigidBodyState, complete_motion, integrate
 from mgf_tpu.solver import (
     BodyView, _friction_impulses, _normal_impulse, build_row_constraints,
@@ -107,6 +107,12 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         pair_manifold = prune(lc, max_contacts=n_slots)
         K = partner.shape[1]
 
+        def _deepest(c):
+            pen = dot(c.b - c.a, c.n)
+            return jnp.max(jnp.where(c.valid, jnp.maximum(-pen, 0.0), 0.0))
+
+        max_pen = _deepest(pc)
+
         def man_to_rows(man, width):
             S = man.valid.shape[0]
             slotf = lambda x: (x.reshape(S, n_loc, width).swapaxes(1, 2)
@@ -143,6 +149,7 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
                 contact=tc)
             blocks.append(man_to_rows(prune(t_lc, max_contacts=n_slots),
                                       n_tris))
+            max_pen = jnp.maximum(max_pen, _deepest(tc))
             partners.append(jnp.full((n_slots * n_tris, n_loc), n_glob,
                                      jnp.int32))
 
@@ -230,6 +237,7 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         (S_loc, _, _, _), _ = jax.lax.scan(
             sweep, (S_loc, zero, zero, zero), None, length=cfg.solver_iters)
         v_new, o_new = unpack_body_state(S_loc)
+        dvx, dvy, dvz = v_new.x - v0.x, v_new.y - v0.y, v_new.z - v0.z
         state = state._replace(v=v_new, omega=o_new)
 
         n_dev = jax.lax.psum(1, axis)
@@ -240,6 +248,9 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
             "broadphase_overflow": jax.lax.psum(grid.overflow, axis) // n_dev,
             "num_pairs": jax.lax.psum(jnp.sum(pair_valid), axis),
             "num_contacts": jax.lax.psum(jnp.sum(rc.valid), axis),
+            "max_penetration": jax.lax.pmax(max_pen, axis),
+            "solver_dv_norm": jnp.sqrt(jax.lax.psum(
+                jnp.sum(dvx * dvx + dvy * dvy + dvz * dvz), axis)),
         }
         return state, metrics
 

@@ -37,7 +37,7 @@ from mgf_tpu.collision import (
 )
 from mgf_tpu.geom import AABB, Capsule, Sphere, Triangle
 from mgf_tpu.manifold import Manifold, prune
-from mgf_tpu.math3d import Mat3, Quat, Vec3, vfrom, where_vec
+from mgf_tpu.math3d import Mat3, Quat, Vec3, dot, vfrom, where_vec
 from mgf_tpu.physics import (
     SHAPE_CAPSULE, SHAPE_SPHERE, RigidBodyState, complete_motion, colliders,
     integrate,
@@ -289,6 +289,14 @@ def step(world: World, cfg: WorldConfig):
     n_slots = 1 if cfg.shape_mode == "spheres" else 2
     pair_manifold = prune(lc, max_contacts=n_slots)
 
+    def _deepest(c):
+        """Max penetration depth over valid contacts ((ca-cb)·n > 0 when
+        overlapping; solver.rs:140 sign convention)."""
+        pen = dot(c.b - c.a, c.n)
+        return jnp.max(jnp.where(c.valid, jnp.maximum(-pen, 0.0), 0.0))
+
+    max_pen = _deepest(pc)
+
     # ---- terrain narrowphase: every (body, triangle) pair ----
     manifolds = [pair_manifold]
     idx_a = [rows]
@@ -313,6 +321,7 @@ def step(world: World, cfg: WorldConfig):
         manifolds.append(prune(t_lc, max_contacts=n_slots))
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
+        max_pen = jnp.maximum(max_pen, _deepest(tc))
 
     # ---- extended body arrays: one virtual static row for the terrain ----
     srow = lambda g: jnp.concatenate(
@@ -423,11 +432,17 @@ def step(world: World, cfg: WorldConfig):
     # pre-solve displacement and Baumgarte recovers any penetration.
     state = state._replace(v=trim(v), omega=trim(omega))
 
+    dv = v - bodies_ext.v
     metrics = {
         "broadphase_overflow": overflow,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
+        # observability (SURVEY §5.5): deepest contact penetration and the
+        # total solver velocity correction this step
+        "max_penetration": max_pen,
+        "solver_dv_norm": jnp.sqrt(jnp.sum(dv.x * dv.x + dv.y * dv.y
+                                           + dv.z * dv.z)),
     }
     return world._replace(bodies=state), metrics
 
