@@ -54,6 +54,80 @@ def time_steps(world, cfg, warmup, iters):
     return iters / dt, compile_s, world, m
 
 
+def _time_op(f, argsets):
+    """Honest op timing: pre-staged varying inputs + host-transfer barrier."""
+    jax.block_until_ready(f(*argsets[0]))
+    t0 = time.perf_counter()
+    outs = [f(*a) for a in argsets]
+    for o in outs:
+        np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / len(argsets)
+
+
+def bench_gjk_batch(n=8192, iters=10):
+    """BASELINE config 4: GJK/EPA discrete narrowphase batched over convex
+    pairs (simplex.rs loop) — OBB vs OBB contact rate."""
+    import jax.numpy as jnp
+    from mgf_tpu.geom import OBB, support_obb
+    from mgf_tpu.gjk import contact_convex_convex
+    from mgf_tpu.math3d import Quat, Vec3, qnormalize
+
+    rng = np.random.default_rng(0)
+
+    def mk(eps):
+        def obb(shift):
+            q = qnormalize(Quat(*(jnp.asarray(
+                rng.standard_normal(n), jnp.float32) for _ in range(4))))
+            c = Vec3(*(jnp.asarray(
+                rng.uniform(-1.5, 1.5, n) + shift + eps, jnp.float32)
+                for _ in range(3)))
+            r = Vec3(*(jnp.asarray(rng.uniform(0.5, 1.0, n), jnp.float32)
+                       for _ in range(3)))
+            return OBB(c=c, q=q, r=r)
+        return obb(0.0), obb(1.0)
+
+    def run(a, b):
+        return contact_convex_convex(lambda d: support_obb(a, d),
+                                     lambda d: support_obb(b, d),
+                                     jnp.ones(n, jnp.float32))
+
+    f = jax.jit(run)
+    sec = _time_op(f, [mk(1e-5 * i) for i in range(iters)])
+    return n / sec
+
+
+def bench_compound_batch(parts=8192, iters=10):
+    """BASELINE config 3: compound rigid bodies vs a polygon face
+    (Compound Contacts, compound.rs:334-352) — part tests/sec."""
+    import jax.numpy as jnp
+    from mgf_tpu.compound import compound_contacts_polygon, compound_from_parts
+    from mgf_tpu.geom import Rectangle
+    from mgf_tpu.math3d import Vec3, vec3
+
+    rng = np.random.default_rng(1)
+    specs = []
+    for i in range(parts):
+        c = rng.uniform(-20, 20, 3)
+        if i % 2 == 0:
+            specs.append(dict(kind="sphere", center=tuple(c), r=0.5))
+        else:
+            specs.append(dict(kind="capsule", a=tuple(c),
+                              d=(1.0, 0.0, 0.0), r=0.4))
+    comp = compound_from_parts(specs)
+    rect = Rectangle(c=vec3(0.0, -21.0, 0.0), u0=vec3(1.0, 0.0, 0.0),
+                     u1=vec3(0.0, 0.0, 1.0), e0=jnp.float32(25.0),
+                     e1=jnp.float32(25.0))
+
+    def run(comp, v):
+        return compound_contacts_polygon(comp, rect, v)
+
+    f = jax.jit(run)
+    argsets = [(comp, vec3(0.0, -3.0 - 1e-5 * i, 0.0))
+               for i in range(iters)]
+    sec = _time_op(f, argsets)
+    return parts / sec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -83,6 +157,17 @@ def main():
             secondary["capsules_1331_steps_per_sec"] = round(sps, 1)
         except Exception as e:  # pragma: no cover
             secondary["capsules_error"] = repr(e)[:200]
+
+    if not args.quick:
+        try:
+            secondary["gjk_obb_pairs_per_sec"] = round(bench_gjk_batch(), 0)
+        except Exception as e:  # pragma: no cover
+            secondary["gjk_error"] = repr(e)[:200]
+        try:
+            secondary["compound_part_tests_per_sec"] = round(
+                bench_compound_batch(), 0)
+        except Exception as e:  # pragma: no cover
+            secondary["compound_error"] = repr(e)[:200]
 
     # headline: 100k-sphere stress scene (warm into a contact-rich pile)
     n = 10_000 if args.quick else args.bodies
