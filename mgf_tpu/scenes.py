@@ -69,7 +69,7 @@ def balls_scene(num: int = 11, with_dropped: bool = True,
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=20, shape_mode="spheres", solver=solver,
         grid=GridConfig(cell_size=1.6, dim=64, bucket_cap=8),
-        max_pairs=16, fatten=0.25)
+        max_pairs=16, fatten=0.25, terrain_rows=4)
     return world, cfg
 
 
@@ -87,7 +87,7 @@ def capsules_scene(num: int = 11, solver: str = "rows"):
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=20, shape_mode="capsules", solver=solver,
         grid=GridConfig(cell_size=4.0, dim=64, bucket_cap=16),
-        max_pairs=24, fatten=0.25)
+        max_pairs=24, fatten=0.25, terrain_rows=6)
     return world, cfg
 
 

@@ -62,6 +62,9 @@ class WorldConfig(NamedTuple):
     two_phase: bool = True           # rows solver: friction/normal phases
     solver_inner: int = 1            # rows solver: inner sweeps per gather
     broadphase: str = "packed"       # "packed" | "fat" candidate culling
+    terrain_rows: int = 0            # rows solver: keep only the top-k valid
+                                     # terrain constraint rows per body
+                                     # (0 = one row per (slot, triangle))
 
 
 class World(NamedTuple):
@@ -371,8 +374,24 @@ def step(world: World, cfg: WorldConfig):
             jnp.where(pair_ok, partner, n).T[None],
             (pair_manifold.valid.shape[0], K, n)).reshape(-1, n)]
         if n_tris > 0:
-            blocks.append(man_to_rows(manifolds[1], n_tris))
-            partners.append(jnp.full((n_slots * n_tris, n), n,
+            tman = man_to_rows(manifolds[1], n_tris)     # (S*T, N)
+            t_rows_n = tman.valid.shape[0]
+            if cfg.terrain_rows and t_rows_n > cfg.terrain_rows:
+                # a body touches at most a couple of terrain triangles, but
+                # every (slot, triangle) pair costs a full-width solver row
+                # (and a partner gather per sweep).  Keep only the top-k
+                # valid rows per body — identical physics whenever <= k
+                # triangle contacts exist, and a solver gather that scales
+                # with k, not the terrain size.
+                kk = cfg.terrain_rows
+                score = (tman.valid.astype(jnp.float32)
+                         * (2.0 - tman.time))            # valid + earlier first
+                _, t_idx = jax.lax.top_k(score.T, kk)    # (N, kk)
+                sel = lambda f: jnp.take_along_axis(f, t_idx.T, axis=0)
+                tman = jax.tree_util.tree_map(sel, tman)
+                t_rows_n = kk
+            blocks.append(tman)
+            partners.append(jnp.full((t_rows_n, n), n,
                                      jnp.int32))
 
         man_rows = jax.tree_util.tree_map(
