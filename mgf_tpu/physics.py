@@ -201,7 +201,7 @@ class SceneBuilder:
         if np.any(np.asarray(radii) <= 0.0):
             raise ValueError("sphere radius must be > 0 (geom.rs:300)")
         if np.any(np.asarray(mass) <= 0.0):
-            raise ValueError("mass must be > 0")
+            raise ValueError("mass must be > 0")  # Sphere::new r<=0 analog
         b = centers.shape[0]
         br = lambda s: np.broadcast_to(np.asarray(s, np.float32), (b,)).copy()
         self._batches.append(dict(
@@ -250,6 +250,17 @@ class SceneBuilder:
                           mass, restitution, friction, gravity)
         return sum(len(b['r']) for b in self._batches) - 1
 
+    def add_static_spheres(self, centers, radii, friction):
+        """Immovable sphere colliders (RigidBodyRef::Static, physics.rs:
+        159-177: inv_mass 0, zero moment, restitution 0)."""
+        self.add_spheres(centers, radii, mass=np.inf, restitution=0.0,
+                         friction=friction, gravity=(0.0, 0.0, 0.0))
+
+    def add_static_capsules(self, a, d, radii, friction):
+        """Immovable capsule colliders (RigidBodyRef::Static)."""
+        self.add_capsules(a, d, radii, mass=np.inf, restitution=0.0,
+                          friction=friction, gravity=(0.0, 0.0, 0.0))
+
     def build(self) -> RigidBodyState:
         g = lambda k: np.concatenate([b[k] for b in self._batches], axis=0)
         kind = g('kind')
@@ -264,9 +275,10 @@ class SceneBuilder:
         # (physics.rs:212): spheres diag(1/(0.4 m r^2)); capsules y-aligned
         inv_t = np.zeros((n, 3, 3), np.float32)
         sph = kind == SHAPE_SPHERE
-        i_sph = 0.4 * mass * r * r
-        for ax in range(3):
-            inv_t[sph, ax, ax] = 1.0 / i_sph[sph]
+        with np.errstate(divide="ignore"):   # mass=inf statics invert to 0
+            i_sph = 0.4 * mass * r * r
+            for ax in range(3):
+                inv_t[sph, ax, ax] = 1.0 / i_sph[sph]
         cap = ~sph
         if cap.any():
             h = 2.0 * half_h[cap]
@@ -281,20 +293,26 @@ class SceneBuilder:
             i_x = ic_x + is_x
             i_y = ic_y + is_y
             idx = np.nonzero(cap)[0]
-            inv_t[idx, 0, 0] = 1.0 / i_x
-            inv_t[idx, 1, 1] = 1.0 / i_y
-            inv_t[idx, 2, 2] = 1.0 / i_x
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv_t[idx, 0, 0] = 1.0 / i_x
+                inv_t[idx, 1, 1] = 1.0 / i_y
+                inv_t[idx, 2, 2] = 1.0 / i_x
+            inv_t[np.isnan(inv_t) | np.isinf(inv_t)] = 0.0
 
         inv_m = mfrom(jnp.asarray(inv_t))
         return RigidBodyState(
             x=vfrom(jnp.asarray(x)), q=qfrom(jnp.asarray(q)),
             v=vfrom(jnp.zeros((n, 3), jnp.float32)),
             omega=vfrom(jnp.zeros((n, 3), jnp.float32)),
-            force=vfrom(jnp.asarray(g('gravity') * mass[:, None])),
+            force=vfrom(jnp.asarray(
+                (g('gravity') * np.where(np.isfinite(mass), mass, 0.0)
+                 [:, None]).astype(np.float32))),
             torque=vfrom(jnp.zeros((n, 3), jnp.float32)),
             restitution=jnp.asarray(g('restitution')),
             friction=jnp.asarray(g('friction')),
-            inv_mass=jnp.asarray(1.0 / mass),
+            inv_mass=jnp.asarray(np.where(np.isfinite(mass),
+                                          1.0 / mass, 0.0)
+                                 .astype(np.float32)),
             inv_moment_body=inv_m,
             inv_moment=inv_m,
             shape_type=jnp.asarray(kind),

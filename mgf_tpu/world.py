@@ -469,3 +469,34 @@ def step(world: World, cfg: WorldConfig):
 def make_step_fn(cfg: WorldConfig):
     """A jitted step closure over a static config."""
     return jax.jit(functools.partial(step, cfg=cfg))
+
+
+# ---------------------------------------------------------------------------
+# host-side world surgery (RigidBodyVec::add_body, physics.rs:200-218;
+# Pool::push/remove, pool.rs:81-113)
+# ---------------------------------------------------------------------------
+
+def extend_world(world: World, new_bodies) -> World:
+    """Append bodies to a world between steps (host-side; the step function
+    recompiles for the new N, which is the honest TPU cost model for a
+    grown Pool slab).  ``new_bodies`` is a RigidBodyState (SceneBuilder
+    .build())."""
+    import numpy as np
+    cat = lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)],
+                                       axis=0)
+    merged = jax.tree_util.tree_map(cat, world.bodies, new_bodies)
+    return world._replace(bodies=merged)
+
+
+def remove_bodies(world: World, indices) -> World:
+    """Remove bodies by index (Pool::remove — but TPU arrays have no holes,
+    so surviving indices SHIFT; callers keeping external references should
+    use masks or the utils.slots table instead)."""
+    import numpy as np
+    n = world.bodies.n_bodies
+    keep = np.ones(n, bool)
+    keep[np.asarray(indices, np.int64)] = False
+    kidx = jnp.asarray(np.nonzero(keep)[0])
+    take = lambda a: jnp.take(jnp.asarray(a), kidx, axis=0)
+    return world._replace(
+        bodies=jax.tree_util.tree_map(take, world.bodies))
