@@ -127,10 +127,14 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
         [ext, 0.0, -ext]], np.float32)
     faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
     world = make_world(b.build(), verts, faces)
+    # swept at 100k on v5e: cell 1.15 (just above the r=0.5 contact
+    # diameter) with cap 5 keeps the full contact set at overflow~0 while
+    # shrinking the 27*cap candidate window; 7 outer x 3 inner sweeps
+    # matches the 10x2 schedule's max penetration at ~25% fewer gathers.
     cfg = WorldConfig(
-        dt=1.0 / 60.0, solver_iters=10, solver_inner=2, two_phase=False,
+        dt=1.0 / 60.0, solver_iters=7, solver_inner=3, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
         solver="rows",
-        grid=GridConfig(cell_size=1.6, dim=128, bucket_cap=8),
-        max_pairs=12, fatten=0.25)
+        grid=GridConfig(cell_size=1.15, dim=128, bucket_cap=5),
+        max_pairs=10, fatten=0.25)
     return world, cfg
