@@ -135,6 +135,9 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="also run the capsules scene (long compile)")
     ap.add_argument("--bodies", type=int, default=100_000)
+    ap.add_argument("--mixed", action="store_true",
+                    help="stress scene with a 25%% capsule mix (BASELINE "
+                         "config 5's mixed form; longer compile)")
     args = ap.parse_args()
 
     from mgf_tpu.scenes import balls_scene, capsules_scene, stress_scene
@@ -171,7 +174,7 @@ def main():
 
     # headline: 100k-sphere stress scene (warm into a contact-rich pile)
     n = 10_000 if args.quick else args.bodies
-    w, cfg = stress_scene(n)
+    w, cfg = stress_scene(n, mixed=args.mixed)
     sps, comp, world, m = time_steps(w, cfg, warmup=60, iters=60)
     secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
@@ -182,7 +185,9 @@ def main():
 
     print(json.dumps(secondary), file=sys.stderr)
     print(json.dumps({
-        "metric": f"physics steps/sec at {n} spheres (stress scene)",
+        "metric": (f"physics steps/sec at {n} "
+                   + ("mixed sphere/capsule bodies" if args.mixed
+                      else "spheres") + " (stress scene)"),
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / 60.0, 3),
