@@ -124,11 +124,22 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig) -> FatGrid:
 
 def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
                    max_pairs: int, self_rows=None, ordered: bool = True,
-                   query_centers: Vec3 = None):
-    """Candidate partners per body straight from the fat grid: 27 bucket-row
+                   query_centers: Vec3 = None, window: str = "27"):
+    """Candidate partners per body straight from the fat grid: bucket-row
     gathers (N indices each) -> AABB cull -> top-k by center distance.
-    Replaces neighbor_candidates + refine_pairs with ~8x fewer gather
-    indices.  Returns (partner (N, max_pairs) int32, valid)."""
+    Replaces neighbor_candidates + refine_pairs with far fewer gather
+    indices (TPU gathers cost per index).  Returns (partner
+    (N, max_pairs) int32, valid).
+
+    ``window`` selects the query neighborhood:
+
+    * ``"27"`` — the full 3x3x3 block: covers pair reach up to cell_size.
+    * ``"sel8"`` — the 2x2x2 octant nearest the query point within its
+      cell (per axis: own cell + the neighbor on the side the point lies
+      in).  GUARANTEED reach is only cell_size/2, so the cell must be
+      sized >= 2x the maximum pair reach (sum of swept fat radii) — 3.4x
+      fewer gather indices than "27" for the same coverage budget.
+    """
     centers = query_centers if query_centers is not None else bounds.c
     if self_rows is None:
         self_rows = jnp.arange(centers.x.shape[0], dtype=jnp.int32)
@@ -139,10 +150,28 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
     sr = jnp.maximum(bounds.r.x, jnp.maximum(
         bounds.r.y, bounds.r.z))[self_rows]
 
+    if window == "sel8":
+        # which half of its cell is the point in, per axis?
+        half = lambda p, c: jnp.where(
+            p - c.astype(p.dtype) * cfg.cell_size > 0.5 * cfg.cell_size,
+            jnp.int32(1), jnp.int32(-1))
+        sx_o = half(centers.x, cx)
+        sy_o = half(centers.y, cy)
+        sz_o = half(centers.z, cz)
+        offsets = [(ax, ay, az) for ax in (0, 1) for ay in (0, 1)
+                   for az in (0, 1)]
+    else:
+        offsets = _OFFSETS
+
     cands = []
     scores = []
-    for (dx, dy, dz) in _OFFSETS:
-        h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
+    for o in offsets:
+        if window == "sel8":
+            h = _bucket_index(cx + sx_o * o[0], cy + sy_o * o[1],
+                              cz + sz_o * o[2], cfg)
+        else:
+            (dx, dy, dz) = o
+            h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
         bucket = grid.table[h]                      # (N, cap*8) ONE gather
         bucket = bucket.reshape(-1, cfg.bucket_cap, 8)
         for s in range(cfg.bucket_cap):

@@ -89,7 +89,8 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
             bounds_g.c)
         partner, pair_ok = broadphase.fat_grid_pairs(
             bounds_g, grid, cfg.grid, cfg.max_pairs, self_rows=rows_g,
-            ordered=False, query_centers=local_centers)
+            ordered=False, query_centers=local_centers,
+            window="sel8" if cfg.broadphase == "fat8" else "27")
 
         # ---- narrowphase over local candidate rows ----
         prow = jnp.broadcast_to(rows_g[:, None], partner.shape).reshape(-1)

@@ -127,14 +127,22 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
         [ext, 0.0, -ext]], np.float32)
     faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
     world = make_world(b.build(), verts, faces)
-    # swept at 100k on v5e: cell 1.15 (just above the r=0.5 contact
-    # diameter) with cap 5 keeps the full contact set at overflow~0 while
-    # shrinking the 27*cap candidate window; 7 outer x 3 inner sweeps
-    # matches the 10x2 schedule's max penetration at ~25% fewer gathers.
+    # swept at 100k on v5e: the sphere config uses the selected-octant fat
+    # grid ("fat8": 8 bucket-row gathers carrying bounds inline, no refine
+    # gather) with cell 3.2 >= 2x the max pair reach and cap 56 >= the
+    # settled pile's per-cell occupancy — full contact set at overflow~0.
+    # 7 outer x 3 inner sweeps matches the 10x2 schedule's max penetration
+    # at ~25% fewer partner gathers.  Mixed keeps the 27-cell packed grid:
+    # capsule pair reach (1.25 + sweep) exceeds the sel8 guarantee.
+    if mixed:
+        grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
+        bp, K = "packed", 12
+    else:
+        grid = GridConfig(cell_size=3.2, dim=32, bucket_cap=56)
+        bp, K = "fat8", 10
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=7, solver_inner=3, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
-        solver="rows",
-        grid=GridConfig(cell_size=1.15, dim=128, bucket_cap=5),
-        max_pairs=10, fatten=0.25)
+        solver="rows", broadphase=bp,
+        grid=grid, max_pairs=K, fatten=0.25)
     return world, cfg

@@ -257,10 +257,11 @@ def step(world: World, cfg: WorldConfig):
     # ---- broadphase (replaces fat-proxy BVH refit + query) ----
     bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, sv), state.delta,
                                          cfg.fatten)
-    if cfg.use_grid and cfg.broadphase == "fat":
+    if cfg.use_grid and cfg.broadphase in ("fat", "fat8"):
         grid = broadphase.build_fat_grid(bounds, cfg.grid)
         partner, pair_ok = broadphase.fat_grid_pairs(
-            bounds, grid, cfg.grid, cfg.max_pairs, ordered=not rows_form)
+            bounds, grid, cfg.grid, cfg.max_pairs, ordered=not rows_form,
+            window="sel8" if cfg.broadphase == "fat8" else "27")
         overflow = grid.overflow
     elif cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid)
