@@ -43,12 +43,37 @@ from mgf_tpu.world import (
 )
 
 
+def pad_bodies(state: RigidBodyState, multiple: int) -> RigidBodyState:
+    """Pad the body SoA to a row count divisible by ``multiple`` with inert
+    static bodies (inv_mass 0, zero force) parked far from the scene and
+    spaced apart so they produce no candidate pairs.  Lifts the
+    N-divisible-by-mesh restriction of shard_map."""
+    n = state.n_bodies
+    pad = (-n) % multiple
+    if pad == 0:
+        return state
+    state = jax.tree_util.tree_map(
+        lambda g: jnp.concatenate(
+            [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0), state)
+    far = 1.0e5 + 100.0 * jnp.arange(pad, dtype=jnp.float32)
+    big = jnp.full((pad,), 1.0e5, jnp.float32)
+    fix = lambda g, tail: jnp.concatenate([g[:n], tail], axis=0)
+    return state._replace(
+        x=Vec3(fix(state.x.x, far), fix(state.x.y, big),
+               fix(state.x.z, big)),
+        q=state.q._replace(w=fix(state.q.w, jnp.ones((pad,), jnp.float32))),
+        shape_r=fix(state.shape_r, jnp.full((pad,), 0.1, jnp.float32)),
+    )
+
+
 def shard_world(world: World, mesh: Mesh, axis: str = "b") -> World:
-    """Place body arrays row-sharded on the mesh; terrain replicated."""
+    """Place body arrays row-sharded on the mesh; terrain replicated.
+    Bodies are padded with inert statics up to a mesh-size multiple."""
     body_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    padded = pad_bodies(world.bodies, int(mesh.devices.size))
     bodies = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, body_sharding), world.bodies)
+        lambda x: jax.device_put(x, body_sharding), padded)
     terrain = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), world.terrain)
     center = jax.tree_util.tree_map(

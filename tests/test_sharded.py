@@ -47,6 +47,36 @@ def test_sharded_matches_single_device():
     assert int(m_shard["num_contacts"]) == int(m_single["num_contacts"])
 
 
+def test_sharded_padding_matches_single_device():
+    """Non-divisible body count: shard_world pads with inert statics that
+    must not perturb the real bodies' trajectories."""
+    from mgf_tpu.scenes import balls_scene
+    from mgf_tpu.parallel import make_sharded_step, shard_world
+    from mgf_tpu.world import make_step_fn
+
+    world, cfg = balls_scene(num=4, with_dropped=True)  # 65 bodies
+    cfg = cfg._replace(two_phase=False)
+    mesh = _cpu_mesh(8)
+
+    cpu = jax.devices("cpu")[0]
+    w_single = jax.device_put(world, cpu)
+    f_single = make_step_fn(cfg)
+    for _ in range(5):
+        w_single, m_single = f_single(w_single)
+
+    w_shard = shard_world(world, mesh)                   # pads to 72
+    assert w_shard.bodies.n_bodies == 72
+    f_shard = make_sharded_step(cfg, mesh)
+    for _ in range(5):
+        w_shard, m_shard = f_shard(w_shard)
+
+    np.testing.assert_allclose(np.asarray(w_shard.bodies.x.y)[:65],
+                               np.asarray(w_single.bodies.x.y), atol=1e-4)
+    # pad rows are static: never move
+    assert np.all(np.asarray(w_shard.bodies.x.y)[65:] == 1.0e5)
+    assert int(m_shard["num_contacts"]) == int(m_single["num_contacts"])
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(4)
