@@ -33,13 +33,23 @@ def _load():
         return _lib
     src = os.path.abspath(_SRC)
     so = os.path.abspath(_SO)
+
+    def compile_so():
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+            check=True, capture_output=True)
+
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so)
+            compile_so()
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # a stale/foreign-arch .so (e.g. from a copied checkout):
+            # rebuild from source once and retry before giving up
+            compile_so()
+            lib = ctypes.CDLL(so)
     except Exception:
         _lib = False
         return False
@@ -130,7 +140,10 @@ def weld_vertices(verts, tol: float = 1e-6):
     key = np.round(verts / max(tol, 1e-12)).astype(np.int64)
     _, first, remap = np.unique(key, axis=0, return_index=True,
                                 return_inverse=True)
-    return verts[np.sort(first)], remap.astype(np.int32)
+    # remap indexes np.unique's KEY-SORTED order, so the welded verts must
+    # be emitted in that same order (sorting `first` here would scramble
+    # welded[remap] whenever first-occurrence and key order differ)
+    return verts[first], remap.astype(np.int32)
 
 
 class AabbTree:

@@ -257,6 +257,17 @@ def step(world: World, cfg: WorldConfig):
     # ---- broadphase (replaces fat-proxy BVH refit + query) ----
     bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, sv), state.delta,
                                          cfg.fatten)
+    # reach observability (ADVICE r1): the grid window only guarantees
+    # coverage for pair reach <= cell_size ("27"/packed) or cell_size/2
+    # ("sel8"); the worst pair reach is the sum of the two largest swept
+    # fat radii.  Positive excess means fast movers may exceed the window
+    # and silently miss pairs.
+    r_eff = jnp.maximum(bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z))
+    top2 = jax.lax.top_k(r_eff, 2)[0] if n >= 2 else jnp.zeros((2,))
+    guarantee = (cfg.grid.cell_size * (0.5 if cfg.broadphase == "fat8"
+                                       else 1.0))
+    reach_excess = (jnp.maximum(top2[0] + top2[1] - guarantee, 0.0)
+                    if cfg.use_grid else jnp.float32(0.0))
     if cfg.use_grid and cfg.broadphase in ("fat", "fat8"):
         grid = broadphase.build_fat_grid(bounds, cfg.grid)
         partner, pair_ok = broadphase.fat_grid_pairs(
@@ -455,6 +466,7 @@ def step(world: World, cfg: WorldConfig):
     dv = v - bodies_ext.v
     metrics = {
         "broadphase_overflow": overflow,
+        "broadphase_reach_excess": reach_excess,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,

@@ -50,6 +50,30 @@ def test_native_morton_and_weld():
     welded, remap = weld_vertices(doubled, tol=1e-6)
     assert welded.shape[0] == 100
     assert remap.shape[0] == 200
+    # the weld must be a faithful relabeling: welded[remap] == verts
+    np.testing.assert_allclose(welded[remap], doubled, atol=1e-6)
+
+
+def test_weld_roundtrip_both_paths():
+    """ADVICE r1: the numpy fallback emitted verts in first-occurrence order
+    while remap indexed key-sorted order, scrambling geometry.  Assert the
+    welded[remap] round-trip on the native AND numpy paths with an input
+    whose first-occurrence and key orders differ."""
+    import mgf_tpu.native as native
+
+    verts = np.asarray([[1, 1, 1], [0, 0, 0], [1, 1, 1], [-2, 5, 0]],
+                       np.float32)
+    for force_numpy in (False, True):
+        if force_numpy:
+            saved = native._lib
+            native._lib = False
+        try:
+            welded, remap = native.weld_vertices(verts, tol=1e-6)
+        finally:
+            if force_numpy:
+                native._lib = saved
+        assert welded.shape[0] == 3
+        np.testing.assert_allclose(welded[remap], verts, atol=1e-6)
 
 
 def test_native_cell_table_and_tree():
