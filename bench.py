@@ -10,11 +10,19 @@ Usage: python bench.py [--quick] [--full] [--bodies N]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import numpy as np
+
+# persistent compilation cache: repeated bench runs (and the capsule scene's
+# long narrowphase compile) hit the disk cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def time_steps(world, cfg, warmup, iters):
@@ -153,11 +161,12 @@ def main():
             secondary["balls_compile_s"] = round(comp, 1)
         except Exception as e:  # pragma: no cover
             secondary["balls_error"] = repr(e)[:200]
-    if args.full:
+    if not args.quick:
         try:
             w, cfg = capsules_scene()
             sps, comp, _, m = time_steps(w, cfg, warmup=280, iters=60)
             secondary["capsules_1331_steps_per_sec"] = round(sps, 1)
+            secondary["capsules_compile_s"] = round(comp, 1)
         except Exception as e:  # pragma: no cover
             secondary["capsules_error"] = repr(e)[:200]
 

@@ -259,4 +259,114 @@ int64_t aabb_tree_query(const float* bounds, const int32_t* children,
   return std::min(count, cap);
 }
 
+// ---------------------------------------------------------------------------
+// f64 sequential-impulse contact solver — the parity ORACLE's inner loop.
+//
+// Reproduces the reference solver's exact Gauss-Seidel semantics
+// (src/solver.rs:203-253): constraints in insertion order, per contact a
+// friction phase (both tangent axes from one relative velocity) then a
+// normal phase, velocities mutated in place between contacts.  With
+// mgf_friction != 0 the RAW tangent lambdas are applied each sweep (the
+// reference's broken accumulator clamp, solver.rs:226-227); otherwise the
+// textbook clamped-accumulator delta is applied.
+// ---------------------------------------------------------------------------
+
+static inline void cross3(const double* a, const double* b, double* out) {
+  out[0] = a[1] * b[2] - a[2] * b[1];
+  out[1] = a[2] * b[0] - a[0] * b[2];
+  out[2] = a[0] * b[1] - a[1] * b[0];
+}
+
+static inline double dot3(const double* a, const double* b) {
+  return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+}
+
+static inline void matvec3(const double* m, const double* v, double* out) {
+  out[0] = m[0] * v[0] + m[1] * v[1] + m[2] * v[2];
+  out[1] = m[3] * v[0] + m[4] * v[1] + m[5] * v[2];
+  out[2] = m[6] * v[0] + m[7] * v[1] + m[8] * v[2];
+}
+
+// v, omega: (M, 3) f64 in/out.  inv_mass: (M,).  inv_moment: (M, 9).
+// Contacts (C rows): body_a/body_b index into the M body rows (statics are
+// rows with inv_mass = 0 and zero inv_moment).  ra/rb/normal/t1/t2: (C, 3).
+// friction/bias/normal_mass/tm1/tm2: (C,).
+void solve_contacts_f64(double* v, double* omega, const double* inv_mass,
+                        const double* inv_moment, int64_t n_bodies,
+                        const int32_t* body_a, const int32_t* body_b,
+                        const double* ra, const double* rb,
+                        const double* normal, const double* t1,
+                        const double* t2, const double* friction,
+                        const double* bias, const double* normal_mass,
+                        const double* tm1, const double* tm2,
+                        int64_t n_contacts, int32_t iters,
+                        int32_t mgf_friction) {
+  std::vector<double> acc_n(n_contacts, 0.0), acc_t1(n_contacts, 0.0),
+      acc_t2(n_contacts, 0.0);
+  (void)n_bodies;
+  for (int32_t it = 0; it < iters; ++it) {
+    for (int64_t c = 0; c < n_contacts; ++c) {
+      const int64_t a = body_a[c], b = body_b[c];
+      double* va = v + 3 * a;
+      double* vb = v + 3 * b;
+      double* oa = omega + 3 * a;
+      double* ob = omega + 3 * b;
+      const double ima = inv_mass[a], imb = inv_mass[b];
+      const double* Ia = inv_moment + 9 * a;
+      const double* Ib = inv_moment + 9 * b;
+      const double* rac = ra + 3 * c;
+      const double* rbc = rb + 3 * c;
+
+      auto apply = [&](const double* dir, double lam) {
+        double imp[3] = {dir[0] * lam, dir[1] * lam, dir[2] * lam};
+        double tq[3], dl[3];
+        for (int k = 0; k < 3; ++k) va[k] -= imp[k] * ima;
+        cross3(rac, imp, tq);
+        matvec3(Ia, tq, dl);
+        for (int k = 0; k < 3; ++k) oa[k] -= dl[k];
+        for (int k = 0; k < 3; ++k) vb[k] += imp[k] * imb;
+        cross3(rbc, imp, tq);
+        matvec3(Ib, tq, dl);
+        for (int k = 0; k < 3; ++k) ob[k] += dl[k];
+      };
+      auto rel_vel = [&](double* dv) {
+        double wa[3], wb[3];
+        cross3(oa, rac, wa);
+        cross3(ob, rbc, wb);
+        for (int k = 0; k < 3; ++k)
+          dv[k] = vb[k] + wb[k] - va[k] - wa[k];
+      };
+
+      double dv[3];
+      rel_vel(dv);
+      double lam1 = -dot3(dv, t1 + 3 * c) * tm1[c];
+      double lam2 = -dot3(dv, t2 + 3 * c) * tm2[c];
+      double app1, app2;
+      if (mgf_friction) {
+        app1 = lam1;
+        app2 = lam2;
+        acc_t1[c] += lam1;
+        acc_t2[c] += lam2;
+      } else {
+        const double max_l = friction[c] * acc_n[c];
+        double n1 = std::min(std::max(acc_t1[c] + lam1, -max_l), max_l);
+        double n2 = std::min(std::max(acc_t2[c] + lam2, -max_l), max_l);
+        app1 = n1 - acc_t1[c];
+        app2 = n2 - acc_t2[c];
+        acc_t1[c] = n1;
+        acc_t2[c] = n2;
+      }
+      apply(t1 + 3 * c, app1);
+      apply(t2 + 3 * c, app2);
+
+      rel_vel(dv);
+      const double vn = dot3(dv, normal + 3 * c);
+      const double lam = normal_mass[c] * (-vn + bias[c]);
+      const double new_acc = std::max(acc_n[c] + lam, 0.0);
+      apply(normal + 3 * c, new_acc - acc_n[c]);
+      acc_n[c] = new_acc;
+    }
+  }
+}
+
 }  // extern "C"

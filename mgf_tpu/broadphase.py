@@ -92,12 +92,19 @@ class FatGrid(NamedTuple):
     float rows [cx cy cz r_eff idx 0 0 0] — candidate generation + AABB cull
     then needs NO per-candidate body gather (TPU gathers cost per index;
     this trades 8x more bytes per *bucket* fetch for 8x fewer indexed
-    fetches overall)."""
-    table: jnp.ndarray      # (dim^3 * cap, 8) float32
+    fetches overall).
+
+    ``width == 4`` packs [cx cy cz idx] instead and carries the occupants'
+    max bound radius in ``r_max`` — HALF the fetched bytes; the cull uses
+    the global radius for the partner side (exact for uniform shapes,
+    conservative otherwise — top-k absorbs the over-admission)."""
+    table: jnp.ndarray      # (dim^3, cap * width) float32
     overflow: jnp.ndarray
+    width: int = 8
+    r_max: jnp.ndarray = None
 
 
-def build_fat_grid(bounds: AABB, cfg: GridConfig) -> FatGrid:
+def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8) -> FatGrid:
     """Bin bodies with their conservative bound radius into the grid."""
     centers = bounds.c
     n = centers.x.shape[0]
@@ -108,18 +115,27 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig) -> FatGrid:
     sorted_h = h[order]
     rank = _bucket_ranks(sorted_h, n)
     ok = rank < cfg.bucket_cap
-    rows = jnp.stack([centers.x[order], centers.y[order], centers.z[order],
-                      r_eff[order], order.astype(jnp.float32) + 0.5,
-                      jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)], axis=-1)
-    # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
-    # (cap x 8 floats) so one gather index fetches every occupant.
-    empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
-    table = jnp.broadcast_to(empty, (cfg.dim ** 3 * cfg.bucket_cap, 8))
+    if width == 4:
+        rows = jnp.stack([centers.x[order], centers.y[order],
+                          centers.z[order],
+                          order.astype(jnp.float32) + 0.5], axis=-1)
+        empty = jnp.zeros((4,), jnp.float32).at[3].set(-1.0)
+    else:
+        rows = jnp.stack([centers.x[order], centers.y[order],
+                          centers.z[order],
+                          r_eff[order], order.astype(jnp.float32) + 0.5,
+                          jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)],
+                         axis=-1)
+        # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
+        # (cap x width floats): one gather index fetches every occupant.
+        empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
+    table = jnp.broadcast_to(empty, (cfg.dim ** 3 * cfg.bucket_cap, width))
     slot = sorted_h * cfg.bucket_cap + jnp.minimum(rank, cfg.bucket_cap - 1)
     table = table.at[jnp.where(ok, slot, cfg.dim ** 3 * cfg.bucket_cap)]\
         .set(rows, mode='drop')
-    table = table.reshape(cfg.dim ** 3, cfg.bucket_cap * 8)
-    return FatGrid(table=table, overflow=jnp.sum(~ok).astype(jnp.int32))
+    table = table.reshape(cfg.dim ** 3, cfg.bucket_cap * width)
+    return FatGrid(table=table, overflow=jnp.sum(~ok).astype(jnp.int32),
+                   width=width, r_max=jnp.max(r_eff))
 
 
 def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
@@ -163,6 +179,8 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
     else:
         offsets = _OFFSETS
 
+    width = grid.width
+    idx_slot = 3 if width == 4 else 4
     cands = []
     scores = []
     for o in offsets:
@@ -172,16 +190,16 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
         else:
             (dx, dy, dz) = o
             h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
-        bucket = grid.table[h]                      # (N, cap*8) ONE gather
-        bucket = bucket.reshape(-1, cfg.bucket_cap, 8)
+        bucket = grid.table[h]                   # (N, cap*width) ONE gather
+        bucket = bucket.reshape(-1, cfg.bucket_cap, width)
         for s in range(cfg.bucket_cap):
             row = bucket[:, s, :]
-            idx = row[:, 4].astype(jnp.int32)
+            idx = row[:, idx_slot].astype(jnp.int32)
             ddx = row[:, 0] - sx
             ddy = row[:, 1] - sy
             ddz = row[:, 2] - sz
-            rr = row[:, 3] + sr
-            ok = (row[:, 4] >= 0.0) & (jnp.abs(ddx) <= rr) \
+            rr = (grid.r_max if width == 4 else row[:, 3]) + sr
+            ok = (row[:, idx_slot] >= 0.0) & (jnp.abs(ddx) <= rr) \
                 & (jnp.abs(ddy) <= rr) & (jnp.abs(ddz) <= rr)
             if ordered:
                 ok = ok & (idx < self_rows)

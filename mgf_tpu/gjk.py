@@ -11,8 +11,10 @@ Everything is natively batched: all arrays carry a trailing lane axis, so a
 million convex pairs run one kernel.
 
 Key parity points:
-* the GJK loop's termination test is the reference's weak progress criterion
-  ``|closest|^2 >= |support|^2`` (simplex.rs:194),
+* the GJK loop terminates on the relative duality gap — a documented
+  DIVERGENCE from the reference's ``|closest|^2 >= |support|^2``
+  (simplex.rs:194), which a SAT-oracle property suite shows misclassifies
+  ~10% of deep random box overlaps as separated (see the loop body),
 * an origin-enclosing simplex smaller than a tetrahedron is padded by
   sampling rotated axes (simplex.rs:179-189),
 * EPA seeds from the final tetrahedron, expands along the closest face
@@ -274,7 +276,16 @@ def gjk(support: Callable, init_dir: Vec3, max_iters: int = GJK_MAX_ITERS
         # support along -closest
         dir_ = -safe_normalize(closest)
         sup = support(dir_)
-        no_progress = mag2 >= magnitude2(sup.p)
+        # Termination: the duality gap |closest|^2 - closest . sup bounds
+        # how far the true distance can still improve.  DIVERGENCE: the
+        # reference tests |min_norm|^2 >= |support point|^2
+        # (simplex.rs:194), which falsely reports separation for
+        # penetrating pairs whenever the Minkowski body is thin along the
+        # search direction (property-tested against a box-box SAT oracle:
+        # ~10% of random deep overlaps misclassified) — the gap criterion
+        # is the correct test and converges to the same answers otherwise.
+        gap = mag2 - dot(closest, sup.p)
+        no_progress = gap <= jnp.maximum(1e-4 * mag2, 1e-7)
 
         done_now = enc_now | no_progress
         active = ~st['done']
@@ -312,12 +323,15 @@ def gjk(support: Callable, init_dir: Vec3, max_iters: int = GJK_MAX_ITERS
 # ---------------------------------------------------------------------------
 
 def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
-        max_tris: int = EPA_MAX_TRIS) -> Contact:
+        max_tris: int = EPA_MAX_TRIS, return_saturated: bool = False):
     """Expand the GJK tetrahedron into the penetration contact.
 
     Fixed-capacity masked triangle table; horizon edges found by all-pairs
     cancellation (the EdgeMap of simplex.rs:417-450).  Returns the contact
-    with points on A and B and the outward penetration normal.
+    with points on A and B and the outward penetration normal; with
+    ``return_saturated`` also a bool mask of lanes where the triangle
+    table overflowed (horizon edge with no free slot — result may be a
+    degraded normal/depth).
     """
     batch = jnp.shape(res.s0.p.x)
     T = max_tris
@@ -342,15 +356,36 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
             Vec3(e2, one, -e1), Vec3(-e2, -one, -e1),
             Vec3(-e1, e2, one), Vec3(e1, -e2, -one)]
     vs = [support(d_) for d_ in dirs]
-    interior = vs[0].p
+    oct_interior = vs[0].p
     for v_ in vs[1:]:
-        interior = interior + v_.p
-    interior = interior * (1.0 / 6.0)
+        oct_interior = oct_interior + v_.p
+    oct_interior = oct_interior * (1.0 / 6.0)
+
+    # Seed selection per lane.  EPA is only meaningful when the polytope
+    # contains the origin; the GJK tetrahedron encloses it by construction
+    # whenever the volume case fired, so seed from it (4 faces) and fall
+    # back to an octahedron of 6 axis supports otherwise (the padded /
+    # degenerate-enclosure lanes).  Property-tested: octahedron-only
+    # seeding converges to the wrong boundary region on ~1% of random
+    # deep box pairs (origin outside the seed polytope).
+    g0, g1, g2, g3 = res.s0, res.s1, res.s2, res.s3
+
+    def outside(aa, bb, cc, dd):
+        nrm = cross(bb - aa, cc - aa)
+        return (dot(aa * -1.0, nrm)) * (dot(dd - aa, nrm)) < 0.0
+
+    enc_tet = ~(outside(g0.p, g1.p, g2.p, g3.p)
+                | outside(g0.p, g2.p, g3.p, g1.p)
+                | outside(g0.p, g3.p, g1.p, g2.p)
+                | outside(g1.p, g3.p, g2.p, g0.p))
+    tet_interior = (g0.p + g1.p + g2.p + g3.p) * 0.25
+    interior = where_vec(enc_tet, tet_interior, oct_interior)
 
     # octahedron faces (px/nx = +-x vertex etc.)
     px, nx, py, ny, pz, nz = vs
-    seeds = [(px, py, pz), (px, pz, ny), (px, ny, nz), (px, nz, py),
-             (nx, pz, py), (nx, ny, pz), (nx, nz, ny), (nx, py, nz)]
+    oct_seeds = [(px, py, pz), (px, pz, ny), (px, ny, nz), (px, nz, py),
+                 (nx, pz, py), (nx, ny, pz), (nx, nz, ny), (nx, py, nz)]
+    tet_seeds = [(g0, g1, g2), (g0, g2, g3), (g0, g3, g1), (g1, g3, g2)]
 
     def slot_write(tbl, k, sp):
         return jax.tree_util.tree_map(
@@ -360,14 +395,23 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
     t0 = tile(zero)
     t1 = tile(zero)
     t2 = tile(zero)
-    for k_, (p0, p1, p2) in enumerate(seeds):
+    for k_, ((o0, o1, o2), ts) in enumerate(
+            zip(oct_seeds, tet_seeds + [None] * 4)):
+        if ts is None:
+            p0, p1, p2 = o0, o1, o2
+        else:
+            p0 = _sp_where(enc_tet, ts[0], o0)
+            p1 = _sp_where(enc_tet, ts[1], o1)
+            p2 = _sp_where(enc_tet, ts[2], o2)
         t0 = slot_write(t0, k_, p0)
         t1 = slot_write(t1, k_, p1)
         t2 = slot_write(t2, k_, p2)
     valid = jnp.zeros((T,) + batch, bool).at[:8].set(True)
+    valid = valid.at[4:8].set(valid[4:8] & ~enc_tet)
 
     state = dict(t0=t0, t1=t1, t2=t2, valid=valid,
                  done=jnp.zeros(batch, bool),
+                 saturated=jnp.zeros(batch, bool),
                  out_n=vzeros_like(res.s0.p),
                  out_dist=jnp.zeros(batch),
                  out_t0=jax.tree_util.tree_map(lambda x: x, zero),
@@ -454,6 +498,12 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
         new_b = pick_sp(e_b)
         got = jnp.any(match, axis=1)
 
+        # saturation (ADVICE r1): a horizon edge with no free slot leaves
+        # the polytope non-watertight — the returned normal/depth may be
+        # degraded.  Flag it so callers can detect capacity overflow.
+        edge_written = jnp.any(match, axis=0)          # (E, batch)
+        sat_now = grow & jnp.any(horizon & ~edge_written, axis=0)
+
         wr = grow & got
         t0n = _sp_where(wr, SupportPoint(
             p=jax.tree_util.tree_map(
@@ -467,7 +517,8 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
         valid_n = jnp.where(grow, (valid & ~facing) | wr, valid)
 
         return dict(t0=t0n, t1=t1n, t2=t2n, valid=valid_n,
-                    done=st['done'] | rec, **st_out)
+                    done=st['done'] | rec,
+                    saturated=st['saturated'] | sat_now, **st_out)
 
     st = jax.lax.fori_loop(0, max_iters, body, state)
 
@@ -476,9 +527,12 @@ def epa(support: Callable, res: GjkResult, max_iters: int = EPA_MAX_ITERS,
     proj = st['out_n'] * st['out_dist']
     u, w, v0 = triangle_barycentric(tri_p, proj)
     pa = (st['out_t0'].a * v0 + st['out_t1'].a * u + st['out_t2'].a * w)
-    return Contact(a=pa, b=pa - st['out_n'] * st['out_dist'],
-                   n=st['out_n'], t=jnp.zeros(jnp.shape(st['out_dist'])),
-                   valid=st['done'])
+    contact = Contact(a=pa, b=pa - st['out_n'] * st['out_dist'],
+                      n=st['out_n'], t=jnp.zeros(jnp.shape(st['out_dist'])),
+                      valid=st['done'])
+    if return_saturated:
+        return contact, st['saturated']
+    return contact
 
 
 # ---------------------------------------------------------------------------
@@ -513,3 +567,17 @@ def contact_convex_convex(support_a: Callable, support_b: Callable,
     touching = mag2 <= COLLISION_EPSILON
     c = epa(diff, res)
     return c._replace(valid=c.valid & touching & res.enclosed)
+
+
+def contact_convex_convex_ex(support_a: Callable, support_b: Callable,
+                             batch_ones):
+    """Like :func:`contact_convex_convex` but also returns the EPA
+    saturation mask (capacity-overflow observability, ADVICE r1)."""
+    diff = minkowski_support(support_a, support_b)
+    one = jnp.ones_like(batch_ones)
+    init = Vec3(one * 0.0, one, one * 0.0)
+    res = gjk(diff, init)
+    mag2 = magnitude2(res.closest)
+    touching = mag2 <= COLLISION_EPSILON
+    c, sat = epa(diff, res, return_saturated=True)
+    return c._replace(valid=c.valid & touching & res.enclosed), sat

@@ -68,6 +68,13 @@ def _load():
     lib.aabb_tree_query.argtypes = [f32p, i32p, i32p, i64, f32p, f32p, i32p,
                                     i64]
     lib.aabb_tree_query.restype = i64
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.solve_contacts_f64.argtypes = [
+        f64p, f64p, f64p, f64p, i64,          # v omega inv_mass inv_moment M
+        i32p, i32p,                           # body_a body_b
+        f64p, f64p, f64p, f64p, f64p,         # ra rb normal t1 t2
+        f64p, f64p, f64p, f64p, f64p,         # friction bias nm tm1 tm2
+        i64, ctypes.c_int32, ctypes.c_int32]  # C iters mgf_friction
     _lib = lib
     return lib
 
@@ -144,6 +151,78 @@ def weld_vertices(verts, tol: float = 1e-6):
     # be emitted in that same order (sorting `first` here would scramble
     # welded[remap] whenever first-occurrence and key order differ)
     return verts[first], remap.astype(np.int32)
+
+
+def solve_contacts_f64(v, omega, inv_mass, inv_moment, body_a, body_b,
+                       ra, rb, normal, t1, t2, friction, bias, normal_mass,
+                       tm1, tm2, iters: int, mgf_friction: bool):
+    """Reference-exact sequential-impulse Gauss-Seidel sweeps in f64
+    (solver.rs:203-253 semantics) — the parity oracle's inner loop.
+
+    ``v``/``omega`` are (M, 3) float64 and are updated IN PLACE when the
+    native library is available; the pure-python fallback returns updated
+    copies either way.  Returns (v, omega).
+    """
+    M = v.shape[0]
+    C = body_a.shape[0]
+    v = np.ascontiguousarray(v, np.float64)
+    omega = np.ascontiguousarray(omega, np.float64)
+    args = [np.ascontiguousarray(a, np.float64)
+            for a in (inv_mass, inv_moment, ra, rb, normal, t1, t2,
+                      friction, bias, normal_mass, tm1, tm2)]
+    (inv_mass, inv_moment, ra, rb, normal, t1, t2, friction, bias,
+     normal_mass, tm1, tm2) = args
+    body_a = np.ascontiguousarray(body_a, np.int32)
+    body_b = np.ascontiguousarray(body_b, np.int32)
+    lib = _load()
+    if lib:
+        lib.solve_contacts_f64(v, omega, inv_mass,
+                               inv_moment.reshape(M, 9), M, body_a, body_b,
+                               ra, rb, normal, t1, t2, friction, bias,
+                               normal_mass, tm1, tm2, C, int(iters),
+                               int(bool(mgf_friction)))
+        return v, omega
+    # pure-python fallback (slow; small scenes only)
+    acc_n = np.zeros(C)
+    acc_t1 = np.zeros(C)
+    acc_t2 = np.zeros(C)
+    I3 = inv_moment.reshape(M, 3, 3)
+    for _ in range(int(iters)):
+        for c in range(C):
+            a, b = int(body_a[c]), int(body_b[c])
+
+            def apply(direction, lam):
+                imp = direction * lam
+                v[a] -= imp * inv_mass[a]
+                omega[a] -= I3[a] @ np.cross(ra[c], imp)
+                v[b] += imp * inv_mass[b]
+                omega[b] += I3[b] @ np.cross(rb[c], imp)
+
+            def rel():
+                return (v[b] + np.cross(omega[b], rb[c])
+                        - v[a] - np.cross(omega[a], ra[c]))
+
+            dv = rel()
+            lam1 = -dv @ t1[c] * tm1[c]
+            lam2 = -dv @ t2[c] * tm2[c]
+            if mgf_friction:
+                app1, app2 = lam1, lam2
+                acc_t1[c] += lam1
+                acc_t2[c] += lam2
+            else:
+                max_l = friction[c] * acc_n[c]
+                n1 = np.clip(acc_t1[c] + lam1, -max_l, max_l)
+                n2 = np.clip(acc_t2[c] + lam2, -max_l, max_l)
+                app1, app2 = n1 - acc_t1[c], n2 - acc_t2[c]
+                acc_t1[c], acc_t2[c] = n1, n2
+            apply(t1[c], app1)
+            apply(t2[c], app2)
+            dv = rel()
+            lam = normal_mass[c] * (-(dv @ normal[c]) + bias[c])
+            new_acc = max(acc_n[c] + lam, 0.0)
+            apply(normal[c], new_acc - acc_n[c])
+            acc_n[c] = new_acc
+    return v, omega
 
 
 class AabbTree:

@@ -8,3 +8,4 @@ the ICI mesh.
 """
 
 from mgf_tpu.parallel.sharded import make_sharded_step, shard_world
+from mgf_tpu.parallel.spatial import make_spatial_step, shard_world_spatial

@@ -91,21 +91,82 @@ def capsules_scene(num: int = 11, solver: str = "rows"):
     return world, cfg
 
 
-def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
-    """The 100k-body scaling stress config (BASELINE.json config 5).
+def terrain_scene(n_bodies: int = 10_000, grid_n: int = 72, seed: int = 2):
+    """BASELINE config 3 as a real simulated world: mixed sphere/capsule
+    bodies raining onto a ≥10k-triangle heightfield, with the grid-culled
+    terrain narrowphase (mesh.rs:115-139 / BVH::query analog).
 
-    Bodies start in a tall block over a large floor; uniform r=0.5 spheres
-    (or a sphere/capsule mix with ``mixed=True``).
+    Returns (World, WorldConfig).  grid_n=72 -> 72^2*2 = 10,368 faces.
     """
     rng = np.random.default_rng(seed)
+    # heightfield: smooth sines, cell 2.0, amplitude 2
+    cell = 2.0
+    ext = grid_n * cell / 2.0
+    xs = np.linspace(-ext, ext, grid_n + 1, dtype=np.float32)
+    zs = np.linspace(-ext, ext, grid_n + 1, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = (2.0 * np.sin(X * 0.15) * np.cos(Z * 0.11)).astype(np.float32)
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    idx = np.arange((grid_n + 1) * (grid_n + 1)).reshape(grid_n + 1,
+                                                         grid_n + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([b, d, c], axis=-1)],
+        axis=0).astype(np.int32)
+
     side = int(np.ceil(n_bodies ** (1.0 / 3.0)))
-    idx = np.arange(side ** 3)[:n_bodies]
-    i, j, k = idx // (side * side), (idx // side) % side, idx % side
+    ii = np.arange(side ** 3)[:n_bodies]
+    i, j, k = ii // (side * side), (ii // side) % side, ii % side
+    shift = 1.4
+    pos = np.stack([
+        (i - side / 2) * shift,
+        8.0 + j * shift,
+        (k - side / 2) * shift,
+    ], axis=-1).astype(np.float32)
+    pos += rng.uniform(-0.02, 0.02, pos.shape).astype(np.float32)
+
+    bld = SceneBuilder()
+    caps = np.arange(n_bodies) % 4 == 0
+    bld.add_spheres(pos[~caps], 0.5, mass=1.0, restitution=0.3, friction=0.6)
+    bld.add_capsules(pos[caps] - np.asarray([[0.25, 0.0, 0.0]]),
+                     np.asarray([[0.5, 0.0, 0.0]]), 0.5,
+                     mass=1.0, restitution=0.3, friction=0.6)
+
+    # face cell >= max face radius (~cell*sqrt(2)/~1.4 + height slope)
+    tg = GridConfig(cell_size=4.0, dim=64, bucket_cap=16)
+    world = make_world(bld.build(), verts, faces, terrain_grid_cfg=tg)
+    cfg = WorldConfig(
+        dt=1.0 / 60.0, solver_iters=10, solver_inner=2, two_phase=False,
+        shape_mode="mixed", solver="rows", broadphase="packed",
+        grid=GridConfig(cell_size=1.6, dim=64, bucket_cap=8),
+        max_pairs=12, fatten=0.1, terrain_bp="grid", terrain_cand=6,
+        terrain_grid_cfg=tg, solver_rows=14)
+    return world, cfg
+
+
+def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
+                 layers: int = 12):
+    """The 100k-body scaling stress config (BASELINE.json config 5).
+
+    Bodies start as a ``layers``-deep block (default 12 — the demos' 11^3
+    grid is 11 layers deep; this is that regime at 100k scale) over a large
+    floor; uniform r=0.5 spheres (or a sphere/capsule mix with ``mixed``).
+    A much deeper block (r1 used a 47-layer cube) collapses into
+    unphysical interpenetration under any fixed-iteration impulse solver
+    and makes the settled state meaningless.
+    """
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_bodies / layers)))
+    idx = np.arange(side * side * layers)[:n_bodies]
+    i, j, k = idx // (side * layers), (idx // layers) % side, idx % layers
     shift = 1.25
     pos = np.stack([
         (i - side / 2) * shift,
-        10.0 + j * shift,
-        (k - side / 2) * shift,
+        2.0 + k * shift,
+        (j - side / 2) * shift,
     ], axis=-1).astype(np.float32)
     pos += rng.uniform(-0.01, 0.01, pos.shape).astype(np.float32)
 
@@ -120,29 +181,49 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0):
     else:
         b.add_spheres(pos, 0.5, mass=1.0, restitution=0.3, friction=0.6)
 
-    half = side * shift  # floor must catch the whole block
-    ext = float(max(half * 2.0, 100.0))
+    span = side * shift                  # initial pile footprint
+    wall = float(span * 0.55 + 6.0)      # open-top box like the demo's
+    wh = 40.0                            # wall height (world.rs:118-150)
     verts = np.asarray([
-        [-ext, 0.0, -ext], [-ext, 0.0, ext], [ext, 0.0, ext],
-        [ext, 0.0, -ext]], np.float32)
-    faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
+        [-wall, 0.0, -wall], [-wall, 0.0, wall], [wall, 0.0, wall],
+        [wall, 0.0, -wall],
+        [-wall, wh, -wall], [-wall, wh, wall], [wall, wh, wall],
+        [wall, wh, -wall]], np.float32)
+    faces = np.asarray([
+        (0, 1, 3), (1, 2, 3),            # floor
+        (0, 5, 1), (0, 4, 5),            # walls
+        (0, 3, 7), (0, 7, 4),
+        (2, 6, 3), (3, 6, 7),
+        (1, 5, 2), (2, 5, 6)], np.int32)
     world = make_world(b.build(), verts, faces)
-    # swept at 100k on v5e: the sphere config uses the selected-octant fat
-    # grid ("fat8": 8 bucket-row gathers carrying bounds inline, no refine
-    # gather) with cell 3.2 >= 2x the max pair reach and cap 56 >= the
-    # settled pile's per-cell occupancy — full contact set at overflow~0.
-    # 7 outer x 3 inner sweeps matches the 10x2 schedule's max penetration
-    # at ~25% fewer partner gathers.  Mixed keeps the 27-cell packed grid:
-    # capsule pair reach (1.25 + sweep) exceeds the sel8 guarantee.
+    # swept at 100k on v5e (r2, 12-layer pile): the sphere config uses the
+    # selected-octant fat grid with 4-float packed rows ("fat8x4": 8
+    # bucket-row gathers carrying [x y z idx], global max radius for the
+    # partner side — exact for uniform spheres).  fatten 0.02: the grid is
+    # rebuilt every step, so the reference's fat-proxy hysteresis margin
+    # (world.rs:181) buys nothing and only inflates the candidate window.
+    # cell 2.4 >= 2x pair reach (1.0 + sweeps + 2*fatten); cap 24 >= the
+    # settled per-cell occupancy.  solver_rows compacts the 12 constraint
+    # rows to the 8 earliest-TOI per body.  Mixed keeps the 27-cell packed
+    # grid: capsule pair reach exceeds the sel8 guarantee at this cell.
     if mixed:
         grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
-        bp, K = "packed", 12
+        bp, K, rows = "packed", 12, 0
     else:
-        grid = GridConfig(cell_size=3.2, dim=32, bucket_cap=56)
-        bp, K = "fat8", 10
+        # grid modulus (dim * cell) must exceed the box span (2 * wall)
+        # or occupied cells alias and buckets overflow silently
+        dim = 32
+        while dim * 2.4 < 2.0 * wall + 10.0:
+            dim *= 2
+        grid = GridConfig(cell_size=2.4, dim=dim, bucket_cap=24)
+        bp, K, rows = "fat8x4", 10, 8
+    # warm_start (cross-frame impulse accumulators) holds the settled
+    # 12-layer pile at max penetration ~0.18 where cold solves collapse
+    # past 0.9 — see PERF.md
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=7, solver_inner=3, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
-        solver="rows", broadphase=bp,
-        grid=grid, max_pairs=K, fatten=0.25)
-    return world, cfg
+        solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
+        grid=grid, max_pairs=K, fatten=0.02)
+    from mgf_tpu.world import init_warm
+    return init_warm(world, cfg), cfg

@@ -444,7 +444,7 @@ def unpack_body_state(S):
 def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                inv_moment: Mat3, iters: int,
                friction_mode: str = "textbook", two_phase: bool = True,
-               inner_iters: int = 1):
+               inner_iters: int = 1, warm=None, return_acc: bool = False):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
     rows; only the first N (= rc.partner.shape[1]) bodies are updated.
     Returns updated (v, omega) for all M rows (statics unchanged).
@@ -453,6 +453,15 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     velocities frozen between gathers (the partner-state gather is the
     expensive op on TPU) — ``iters`` x ``inner_iters`` total sweeps with
     ``iters`` gathers.
+
+    ``warm`` is an optional (acc_n, acc_t1, acc_t2) triple of (R, N)
+    accumulated impulses from the previous frame (matched by the caller to
+    this frame's rows): they are applied up front along this frame's
+    normal/tangents and seed the accumulators — classic warm starting.
+    The reference zeroes accumulators every frame (solver.rs:101-192);
+    this is a documented stability EXTENSION (SURVEY §7.7), off by
+    default.  With ``return_acc`` the final accumulators are returned for
+    the next frame.
     """
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
@@ -506,7 +515,15 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         return carry, None
 
     zero = jnp.zeros(rc.valid.shape, jnp.float32)
-    (S, _, _, _), _ = jax.lax.scan(
-        sweep, (S, zero, zero, zero), None, length=iters)
+    if warm is None:
+        acc0 = (zero, zero, zero)
+    else:
+        wn, wt1, wt2 = [w * rc.valid for w in warm]
+        S = apply_self(S, rc.t1 * wt1 + rc.t2 * wt2 + rc.normal * wn)
+        acc0 = (wn, wt1, wt2)
+    (S, acc_n, acc_t1, acc_t2), _ = jax.lax.scan(
+        sweep, (S,) + acc0, None, length=iters)
     v_out, o_out = unpack_body_state(S)
+    if return_acc:
+        return v_out, o_out, (acc_n, acc_t1, acc_t2)
     return v_out, o_out

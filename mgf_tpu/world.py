@@ -65,6 +65,41 @@ class WorldConfig(NamedTuple):
     terrain_rows: int = 0            # rows solver: keep only the top-k valid
                                      # terrain constraint rows per body
                                      # (0 = one row per (slot, triangle))
+    terrain_bp: str = "dense"        # "dense": test every (body, triangle);
+                                     # "grid": cull faces via the world's
+                                     # MeshGrid (mesh.rs:121 BVH::query
+                                     # equivalent) to terrain_cand per body
+    terrain_cand: int = 8            # candidate faces per body ("grid")
+    terrain_grid_cfg: GridConfig = None  # face-table geometry ("grid";
+                                     # must match make_world's
+                                     # terrain_grid_cfg)
+    warm_start: bool = False         # rows solver: persist accumulated
+                                     # impulses across frames (matched by
+                                     # (partner, slot/triangle) keys) and
+                                     # re-apply them up front — a documented
+                                     # stability extension (the reference
+                                     # zeroes accumulators every frame,
+                                     # solver.rs:101-192; SURVEY §7.7)
+    pallas_narrowphase: bool = False  # spheres mode: run the fused pair
+                                      # narrowphase as the Pallas TPU kernel
+                                      # (ops/narrowphase.py) instead of the
+                                      # jnp path
+    solver_rows: int = 0             # rows solver: compact ALL constraint
+                                     # rows (pairs + terrain) to the top-k
+                                     # valid per body before the solve — the
+                                     # per-sweep partner gather and impulse
+                                     # math scale with the row count
+                                     # (0 = keep every slot row)
+
+
+class SolverWarm(NamedTuple):
+    """Previous frame's constraint rows + accumulated impulses, for
+    cfg.warm_start (rows matched by (partner, slot-or-triangle) key)."""
+    partner: jnp.ndarray   # (R, N) int32
+    key2: jnp.ndarray      # (R, N) int32: pair slot id / terrain tri id
+    acc_n: jnp.ndarray     # (R, N) float32
+    acc_t1: jnp.ndarray
+    acc_t2: jnp.ndarray
 
 
 class World(NamedTuple):
@@ -72,11 +107,50 @@ class World(NamedTuple):
     bodies: RigidBodyState
     terrain: Triangle        # triangle soup in world space, Vec3 (T,)
     terrain_center: Vec3
+    terrain_grid: jnp.ndarray = None  # (dim^3, cap) face table for
+                                      # cfg.terrain_bp == "grid" (built by
+                                      # make_world(terrain_grid_cfg=...))
+    warm: SolverWarm = None           # cfg.warm_start state (init_warm)
+
+
+def solver_row_count(cfg: WorldConfig, n_tris: int) -> int:
+    """The rows solver's row count R for a config (must mirror step())."""
+    n_slots = 1 if cfg.shape_mode == "spheres" else 2
+    r = n_slots * cfg.max_pairs
+    if n_tris > 0:
+        t_width = (cfg.terrain_cand if cfg.terrain_bp == "grid"
+                   else n_tris)
+        t_rows = n_slots * t_width
+        if cfg.terrain_rows and t_rows > cfg.terrain_rows:
+            t_rows = cfg.terrain_rows
+        r += t_rows
+    if cfg.solver_rows and r > cfg.solver_rows:
+        r = cfg.solver_rows
+    return r
+
+
+def init_warm(world: World, cfg: WorldConfig) -> World:
+    """Attach a zeroed warm-start state so the step's jit signature is
+    stable from the first call (cfg.warm_start scenes)."""
+    n = world.bodies.n_bodies
+    R = solver_row_count(cfg, world.terrain.a.x.shape[0])
+    z = jnp.zeros((R, n), jnp.float32)
+    none = jnp.full((R, n), -9, jnp.int32)
+    return world._replace(warm=SolverWarm(partner=none, key2=none,
+                                          acc_n=z, acc_t1=z, acc_t2=z))
 
 
 def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
-               terrain_center=(0.0, 0.0, 0.0)) -> World:
-    """Assemble a world; terrain given as (V, 3) vertices + (T, 3) faces."""
+               terrain_center=(0.0, 0.0, 0.0),
+               terrain_grid_cfg: GridConfig = None) -> World:
+    """Assemble a world; terrain given as (V, 3) vertices + (T, 3) faces.
+
+    ``terrain_grid_cfg`` builds a static face cell table for the "grid"
+    terrain broadphase (large meshes); faces are binned by centroid, so the
+    cell size must be >= the largest face radius for the +-1-cell query
+    window to cover it.
+    """
+    grid_table = None
     if terrain_verts is None:
         z = jnp.zeros((0,), jnp.float32)
         v0 = Vec3(z, z, z)
@@ -87,9 +161,17 @@ def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
         tri = Triangle(a=vfrom(jnp.asarray(tv[tf[:, 0]])),
                        b=vfrom(jnp.asarray(tv[tf[:, 1]])),
                        c=vfrom(jnp.asarray(tv[tf[:, 2]])))
+        if terrain_grid_cfg is not None:
+            from mgf_tpu.mesh import build_mesh_grid, mesh_from_arrays
+            mg = build_mesh_grid(mesh_from_arrays(tv, tf),
+                                 terrain_grid_cfg.cell_size,
+                                 terrain_grid_cfg.dim,
+                                 terrain_grid_cfg.bucket_cap)
+            grid_table = mg.table
     return World(bodies=bodies, terrain=tri,
                  terrain_center=vfrom(jnp.asarray(terrain_center,
-                                                  jnp.float32)))
+                                                  jnp.float32)),
+                 terrain_grid=grid_table)
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +318,13 @@ def _body_bounds(cfg: WorldConfig, sv) -> AABB:
 # the step
 # ---------------------------------------------------------------------------
 
-def step(world: World, cfg: WorldConfig):
+def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     """One physics frame (World::step, world.rs:227-294). Jittable.
     Returns (new_world, metrics dict).
+
+    ``collect_contacts`` (static) adds the raw narrowphase contact streams
+    to the metrics dict (pair + terrain Contact batches with their index
+    vectors) — the parity-oracle diffing hook (PARITY.md).
 
     With ``cfg.solver == "rows"`` (default) the pipeline is fully
     scatter-free: candidate pairs are kept in BOTH directions, every body
@@ -264,15 +350,24 @@ def step(world: World, cfg: WorldConfig):
     # and silently miss pairs.
     r_eff = jnp.maximum(bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z))
     top2 = jax.lax.top_k(r_eff, 2)[0] if n >= 2 else jnp.zeros((2,))
-    guarantee = (cfg.grid.cell_size * (0.5 if cfg.broadphase == "fat8"
-                                       else 1.0))
+    guarantee = (cfg.grid.cell_size
+                 * (0.5 if cfg.broadphase in ("fat8", "fat8x4") else 1.0))
     reach_excess = (jnp.maximum(top2[0] + top2[1] - guarantee, 0.0)
                     if cfg.use_grid else jnp.float32(0.0))
-    if cfg.use_grid and cfg.broadphase in ("fat", "fat8"):
-        grid = broadphase.build_fat_grid(bounds, cfg.grid)
+    # modulus-aliasing observability: if the scene span exceeds the grid
+    # modulus (dim * cell), distinct OCCUPIED cells collide in the table
+    # and buckets overflow silently (this bit r2's first 100k sweep).
+    modulus = cfg.grid.dim * cfg.grid.cell_size
+    span = lambda c: jnp.max(c) - jnp.min(c)
+    span_excess = (jnp.maximum(jnp.maximum(
+        span(bounds.c.x), jnp.maximum(span(bounds.c.y), span(bounds.c.z)))
+        / modulus - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
+    if cfg.use_grid and cfg.broadphase in ("fat", "fat8", "fat8x4"):
+        grid = broadphase.build_fat_grid(
+            bounds, cfg.grid, width=4 if cfg.broadphase == "fat8x4" else 8)
         partner, pair_ok = broadphase.fat_grid_pairs(
             bounds, grid, cfg.grid, cfg.max_pairs, ordered=not rows_form,
-            window="sel8" if cfg.broadphase == "fat8" else "27")
+            window="27" if cfg.broadphase == "fat" else "sel8")
         overflow = grid.overflow
     elif cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid)
@@ -295,7 +390,17 @@ def step(world: World, cfg: WorldConfig):
     ps = pack_shapes(sv)
     ga = gather_shapes(cfg, ps, rows)
     gb = gather_shapes(cfg, ps, cols)
-    pc = _pair_contact(cfg, ga, gb)                    # slots (2, P)
+    if cfg.pallas_narrowphase and cfg.shape_mode == "spheres":
+        from mgf_tpu.ops import sphere_contact_pairs
+        P = rows.shape[0]
+        pad = (-P) % 4096
+        ga8 = jnp.pad(ps.p8[rows], ((0, pad), (0, 0))).T
+        gb8 = jnp.pad(ps.p8[cols], ((0, pad), (0, 0))).T
+        c = sphere_contact_pairs(ga8, gb8, use_pallas=True)
+        c = jax.tree_util.tree_map(lambda x: x[:P], c)
+        pc = contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
+    else:
+        pc = _pair_contact(cfg, ga, gb)                # slots (2, P)
     pc = pc._replace(valid=pc.valid & pair_valid[None, :])
     lc = LocalContact(
         local_a=pc.a - (ga.x + ga.delta * pc.t),
@@ -312,20 +417,62 @@ def step(world: World, cfg: WorldConfig):
 
     max_pen = _deepest(pc)
 
-    # ---- terrain narrowphase: every (body, triangle) pair ----
+    # ---- terrain narrowphase ----
+    # "dense": every (body, triangle) pair — exact for small terrains
+    # (the demo box has 10 faces, world.rs:140-149).  "grid": candidate
+    # faces from the static face cell table (the mesh BVH::query
+    # equivalent, mesh.rs:121), top-terrain_cand by centroid distance.
     manifolds = [pair_manifold]
     idx_a = [rows]
     idx_b = [cols]
     if n_tris > 0:
-        t_rows = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None],
-            (n, n_tris)).reshape(-1)
-        t_tris = jnp.broadcast_to(
-            jnp.arange(n_tris, dtype=jnp.int32)[None, :],
-            (n, n_tris)).reshape(-1)
+        if cfg.terrain_bp == "grid":
+            tg = cfg.terrain_grid_cfg
+            tcols = []
+            centers = state.x
+            cc = lambda comp: jnp.floor(
+                comp / tg.cell_size).astype(jnp.int32)
+            cx, cy, cz = cc(centers.x), cc(centers.y), cc(centers.z)
+            mmask = tg.dim - 1
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        h = ((((cx + dx) & mmask) * tg.dim
+                              + ((cy + dy) & mmask)) * tg.dim
+                             + ((cz + dz) & mmask))
+                        tcols.append(world.terrain_grid[h])
+            cand = jnp.concatenate(tcols, axis=-1)       # (N, 27*cap)
+            tcent = (world.terrain.a + world.terrain.b
+                     + world.terrain.c) * (1.0 / 3.0)
+            safe = jnp.maximum(cand, 0)
+            dxc = tcent.x[safe] - centers.x[:, None]
+            dyc = tcent.y[safe] - centers.y[:, None]
+            dzc = tcent.z[safe] - centers.z[:, None]
+            d2 = dxc * dxc + dyc * dyc + dzc * dzc
+            score = jnp.where(cand >= 0, -d2, -jnp.inf)
+            top, pick = jax.lax.top_k(score, cfg.terrain_cand)
+            t_cand = jnp.take_along_axis(cand, pick, axis=1)
+            t_ok = jnp.isfinite(top)
+            t_width = cfg.terrain_cand
+            t_rows = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None],
+                (n, t_width)).reshape(-1)
+            t_tris = jnp.where(t_ok, t_cand, 0).reshape(-1)
+            t_valid = t_ok.reshape(-1)
+        else:
+            t_width = n_tris
+            t_rows = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None],
+                (n, n_tris)).reshape(-1)
+            t_tris = jnp.broadcast_to(
+                jnp.arange(n_tris, dtype=jnp.int32)[None, :],
+                (n, n_tris)).reshape(-1)
+            t_valid = None
         tri = jax.tree_util.tree_map(lambda x: x[t_tris], world.terrain)
         gt = gather_shapes(cfg, ps, t_rows)
         tc = _terrain_contact(cfg, gt, tri)
+        if t_valid is not None:
+            tc = tc._replace(valid=tc.valid & t_valid[None, :])
         t_lc = LocalContact(
             local_a=tc.a - (gt.x + gt.delta * tc.t),
             local_b=tc.b - world.terrain_center,
@@ -381,12 +528,22 @@ def step(world: World, cfg: WorldConfig):
                 valid=slotf(man.valid),
             )
 
+        S_pair = pair_manifold.valid.shape[0]
         blocks = [man_to_rows(pair_manifold, K)]
         partners = [jnp.broadcast_to(
             jnp.where(pair_ok, partner, n).T[None],
-            (pair_manifold.valid.shape[0], K, n)).reshape(-1, n)]
+            (S_pair, K, n)).reshape(-1, n)]
+        # warm-start row keys: pair rows keyed by manifold slot id;
+        # terrain rows keyed by triangle id (partner there is the static
+        # row n, so the key spaces cannot collide)
+        key2s = [jnp.broadcast_to(
+            jnp.arange(S_pair, dtype=jnp.int32)[:, None, None],
+            (S_pair, K, n)).reshape(-1, n)]
         if n_tris > 0:
-            tman = man_to_rows(manifolds[1], n_tris)     # (S*T, N)
+            tman = man_to_rows(manifolds[1], t_width)    # (S*T, N)
+            t_key2 = jnp.broadcast_to(
+                t_tris.reshape(n, t_width).T[None],
+                (n_slots, t_width, n)).reshape(-1, n).astype(jnp.int32)
             t_rows_n = tman.valid.shape[0]
             if cfg.terrain_rows and t_rows_n > cfg.terrain_rows:
                 # a body touches at most a couple of terrain triangles, but
@@ -401,14 +558,34 @@ def step(world: World, cfg: WorldConfig):
                 _, t_idx = jax.lax.top_k(score.T, kk)    # (N, kk)
                 sel = lambda f: jnp.take_along_axis(f, t_idx.T, axis=0)
                 tman = jax.tree_util.tree_map(sel, tman)
+                t_key2 = sel(t_key2)
                 t_rows_n = kk
             blocks.append(tman)
             partners.append(jnp.full((t_rows_n, n), n,
                                      jnp.int32))
+            key2s.append(t_key2)
 
         man_rows = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *blocks)
         partner_rows = jnp.concatenate(partners, axis=0)
+        key2_rows = jnp.concatenate(key2s, axis=0)
+
+        rows_dropped = jnp.int32(0)
+        if cfg.solver_rows and man_rows.valid.shape[0] > cfg.solver_rows:
+            # compact to the top-k valid rows per body (earliest TOI first):
+            # identical physics whenever a body has <= k contacts; beyond
+            # that the latest-TOI rows are dropped (counted in metrics)
+            kk = cfg.solver_rows
+            n_valid = jnp.sum(man_rows.valid, axis=0)
+            score = (man_rows.valid.astype(jnp.float32)
+                     * (2.0 - jnp.clip(man_rows.time, 0.0, 1.0)))
+            _, r_idx = jax.lax.top_k(score.T, kk)        # (N, kk)
+            sel = lambda f: jnp.take_along_axis(f, r_idx.T, axis=0)
+            man_rows = jax.tree_util.tree_map(sel, man_rows)
+            partner_rows = sel(partner_rows)
+            key2_rows = sel(key2_rows)
+            rows_dropped = jnp.sum(
+                jnp.maximum(n_valid - kk, 0)).astype(jnp.int32)
 
         # mass splitting: every contact of body i is in row i, so the
         # per-body count is a row reduction; partner counts are one gather.
@@ -419,12 +596,35 @@ def step(world: World, cfg: WorldConfig):
 
         rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
                                    cfg.dt, counts=counts)
-        v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
-                              bodies_ext.inv_mass, bodies_ext.inv_moment,
-                              cfg.solver_iters, cfg.friction_mode,
-                              cfg.two_phase, cfg.solver_inner)
+        warm = None
+        if cfg.warm_start and world.warm is not None:
+            # match this frame's rows to last frame's by (partner, key2)
+            eq = ((partner_rows[:, None, :] == world.warm.partner[None])
+                  & (key2_rows[:, None, :] == world.warm.key2[None]))
+            found = jnp.any(eq, axis=1)
+            pick = jnp.argmax(eq, axis=1)                # (R, N)
+            take = lambda a: (jnp.take_along_axis(a, pick, axis=0)
+                              * found)
+            warm = (take(world.warm.acc_n), take(world.warm.acc_t1),
+                    take(world.warm.acc_t2))
+        if cfg.warm_start:
+            v, omega, acc = solve_rows(
+                rc, bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass,
+                bodies_ext.inv_moment, cfg.solver_iters, cfg.friction_mode,
+                cfg.two_phase, cfg.solver_inner, warm=warm, return_acc=True)
+            new_warm = SolverWarm(partner=jnp.where(rc.valid, partner_rows,
+                                                    -9),
+                                  key2=key2_rows, acc_n=acc[0],
+                                  acc_t1=acc[1], acc_t2=acc[2])
+        else:
+            v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
+                                  bodies_ext.inv_mass, bodies_ext.inv_moment,
+                                  cfg.solver_iters, cfg.friction_mode,
+                                  cfg.two_phase, cfg.solver_inner)
+            new_warm = world.warm
         num_contacts = jnp.sum(rc.valid)
         num_constraints = rc.valid.size
+        solver_rows_dropped = rows_dropped
     else:
         # ---- flat constraint list (reference single-direction form) ----
         def manifold_counts(man, ia, ib):
@@ -455,6 +655,8 @@ def step(world: World, cfg: WorldConfig):
                                         cfg.friction_mode)
         num_contacts = jnp.sum(con.valid)
         num_constraints = con.valid.shape[0]
+        solver_rows_dropped = jnp.int32(0)
+        new_warm = world.warm
 
     trim = lambda t: jax.tree_util.tree_map(lambda g: g[:n], t)
     # NOTE: ``delta`` deliberately stays at its pre-solve value — mgf sets
@@ -467,16 +669,23 @@ def step(world: World, cfg: WorldConfig):
     metrics = {
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
+        "broadphase_span_excess": span_excess,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
+        "solver_rows_dropped": solver_rows_dropped,
         # observability (SURVEY §5.5): deepest contact penetration and the
         # total solver velocity correction this step
         "max_penetration": max_pen,
         "solver_dv_norm": jnp.sqrt(jnp.sum(dv.x * dv.x + dv.y * dv.y
                                            + dv.z * dv.z)),
     }
-    return world._replace(bodies=state), metrics
+    if collect_contacts:
+        metrics["pair_contacts"] = dict(i=rows, j=cols, contact=pc)
+        if n_tris > 0:
+            metrics["terrain_contacts"] = dict(i=t_rows, tri=t_tris,
+                                               contact=tc)
+    return world._replace(bodies=state, warm=new_warm), metrics
 
 
 def make_step_fn(cfg: WorldConfig):

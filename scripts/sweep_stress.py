@@ -1,0 +1,106 @@
+"""Sweep stress-scene configs at the SETTLED pile state.
+
+Settles the pile once with the baseline config, then for each candidate
+config: re-jit, short re-warm, pipelined timing + quality metrics
+(contacts / overflow / max penetration / dropped rows).
+
+Usage: python scripts/sweep_stress.py [--bodies N] [--settle S] [--set NAME]
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgf_tpu.broadphase import GridConfig
+from mgf_tpu.scenes import stress_scene
+from mgf_tpu.world import step
+
+
+def run_cfg(name, world, cfg, rewarm=20, iters=30):
+    f = jax.jit(functools.partial(step, cfg=cfg))
+    t0 = time.perf_counter()
+    w, m = f(world)
+    jax.block_until_ready(w)
+    comp = time.perf_counter() - t0
+    for i in range(rewarm):
+        w, m = f(w)
+    jax.block_until_ready(w)
+    worst_pen = 0.0
+    worst_of = 0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        w, m = f(w)
+    jax.block_until_ready(w)
+    dt = (time.perf_counter() - t0) / iters
+    # quality sampled at the end of the window
+    m = jax.tree_util.tree_map(np.asarray, m)
+    out = dict(name=name, steps_per_sec=round(1.0 / dt, 2),
+               ms=round(dt * 1e3, 1), compile_s=round(comp, 1),
+               contacts=int(m["num_contacts"]),
+               overflow=int(m["broadphase_overflow"]),
+               max_pen=round(float(m["max_penetration"]), 3),
+               dropped=int(m.get("solver_rows_dropped", 0)),
+               reach_excess=round(float(m["broadphase_reach_excess"]), 3))
+    print(json.dumps(out), flush=True)
+    return w, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bodies", type=int, default=100_000)
+    ap.add_argument("--settle", type=int, default=240)
+    ap.add_argument("--set", default="a")
+    args = ap.parse_args()
+
+    from mgf_tpu.world import init_warm
+    world, base_cfg = stress_scene(args.bodies)
+    base_cfg = base_cfg._replace(
+        warm_start=True, grid=base_cfg.grid._replace(bucket_cap=24))
+    world = init_warm(world, base_cfg)
+    f = jax.jit(functools.partial(step, cfg=base_cfg))
+    t0 = time.perf_counter()
+    w = world
+    for i in range(args.settle):
+        w, m = f(w)
+    jax.block_until_ready(w)
+    m = jax.tree_util.tree_map(np.asarray, m)
+    print(f"settled {args.settle} steps in {time.perf_counter()-t0:.0f}s: "
+          f"contacts={int(m['num_contacts'])} "
+          f"overflow={int(m['broadphase_overflow'])} "
+          f"maxpen={float(m['max_penetration']):.3f}", flush=True)
+
+    g = lambda cell, dim, cap: GridConfig(cell_size=cell, dim=dim,
+                                          bucket_cap=cap)
+    dim = base_cfg.grid.dim
+    CANDS = {
+        "a": [
+            ("warm 7x3 x4 2.4/24 rows8", base_cfg),
+            ("warm 4x3", base_cfg._replace(solver_iters=4)),
+            ("warm 4x2 K8 rows7", base_cfg._replace(
+                solver_iters=4, solver_inner=2, max_pairs=8,
+                solver_rows=7)),
+            ("cold 7x3 (no warm)", base_cfg._replace(warm_start=False)),
+        ],
+        "b": [
+            ("warm 3x3", base_cfg._replace(solver_iters=3)),
+            ("warm 4x3 cap20", base_cfg._replace(
+                solver_iters=4, grid=g(2.4, dim, 20))),
+            ("warm 4x3 cell2.2/cap18", base_cfg._replace(
+                solver_iters=4, grid=g(2.2, dim, 18))),
+        ],
+    }
+    for name, cfg in CANDS[args.set]:
+        wc = w if cfg.warm_start else w._replace(warm=None)
+        run_cfg(name, wc, cfg)
+
+
+if __name__ == "__main__":
+    main()
