@@ -172,6 +172,16 @@ def main():
 
     if not args.quick:
         try:
+            # BASELINE config 3 as a real world: 10k mixed bodies raining
+            # on a 10,368-triangle heightfield with grid-culled terrain
+            from mgf_tpu.scenes import terrain_scene
+            w, cfg = terrain_scene(n_bodies=10_000)
+            sps, comp, _, m = time_steps(w, cfg, warmup=120, iters=40)
+            secondary["terrain_10k_steps_per_sec"] = round(sps, 1)
+            secondary["terrain_10k_contacts"] = int(m["num_contacts"])
+        except Exception as e:  # pragma: no cover
+            secondary["terrain_error"] = repr(e)[:200]
+        try:
             secondary["gjk_obb_pairs_per_sec"] = round(bench_gjk_batch(), 0)
         except Exception as e:  # pragma: no cover
             secondary["gjk_error"] = repr(e)[:200]
@@ -181,13 +191,28 @@ def main():
         except Exception as e:  # pragma: no cover
             secondary["compound_error"] = repr(e)[:200]
 
-    # headline: 100k-sphere stress scene (warm into a contact-rich pile)
+    # headline: 100k-sphere stress scene, measured at the SETTLED pile
+    # (12-layer box fill reaches steady state by ~150 steps; overflow and
+    # max penetration below are the quality guards for that regime)
     n = 10_000 if args.quick else args.bodies
     w, cfg = stress_scene(n, mixed=args.mixed)
-    sps, comp, world, m = time_steps(w, cfg, warmup=60, iters=60)
+    if not args.mixed and jax.default_backend() != "cpu":
+        # fused Pallas pair narrowphase: measured +1.3% at 100k (PERF.md);
+        # fall back to the jnp path if the kernel fails on this backend
+        try:
+            sps, comp, world, m = time_steps(
+                w, cfg._replace(pallas_narrowphase=True),
+                warmup=180, iters=60)
+            cfg = None
+        except Exception:
+            pass
+    if cfg is not None:
+        sps, comp, world, m = time_steps(w, cfg, warmup=180, iters=60)
     secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
     secondary["stress_broadphase_overflow"] = int(m["broadphase_overflow"])
+    secondary["stress_max_penetration"] = round(
+        float(m["max_penetration"]), 3)
     # narrowphase contact tests/sec = candidate pairs tested per second
     secondary["narrowphase_pair_tests_per_sec"] = round(
         float(m["num_constraints"]) * sps, 0)

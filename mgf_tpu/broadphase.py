@@ -181,8 +181,17 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
 
     width = grid.width
     idx_slot = 3 if width == 4 else 4
+    n_bodies = centers.x.shape[0]
+    # closeness + candidate index fused into ONE int32 sort key
+    # (14-bit quantized distance | 17-bit body index) so the top-k output
+    # IS the partner id — no (N, W) candidate matrix and no second
+    # take_along gather.  Falls back to float scores past 2^17 bodies.
+    use_ikey = n_bodies <= (1 << 17)
+    d2_max = (3.0 * cfg.cell_size) ** 2
+    inv_scale = 16383.0 / d2_max
     cands = []
     scores = []
+    keys = []
     for o in offsets:
         if window == "sel8":
             h = _bucket_index(cx + sx_o * o[0], cy + sy_o * o[1],
@@ -206,8 +215,21 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
             else:
                 ok = ok & (idx != self_rows)
             d2 = ddx * ddx + ddy * ddy + ddz * ddz
-            cands.append(jnp.where(ok, idx, -1))
-            scores.append(jnp.where(ok, -d2, -jnp.inf))
+            if use_ikey:
+                q = jnp.minimum((d2 * inv_scale).astype(jnp.int32), 16383)
+                keys.append(jnp.where(ok, ((16383 - q) << 17) | idx, -1))
+            else:
+                cands.append(jnp.where(ok, idx, -1))
+                scores.append(jnp.where(ok, -d2, -jnp.inf))
+    if use_ikey:
+        keym = jnp.stack(keys, axis=1)              # (N, W) int32
+        if keym.shape[1] <= max_pairs:
+            pad = max_pairs - keym.shape[1]
+            top = jnp.pad(keym, ((0, 0), (0, pad)), constant_values=-1)
+        else:
+            top = jax.lax.top_k(keym, max_pairs)[0]
+        valid = top >= 0
+        return jnp.where(valid, top & 0x1FFFF, -1), valid
     cand = jnp.stack(cands, axis=1)                 # (N, 27*cap)
     score = jnp.stack(scores, axis=1)
     if cand.shape[1] <= max_pairs:

@@ -82,8 +82,21 @@ def shard_world(world: World, mesh: Mesh, axis: str = "b") -> World:
 
 
 def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
-    """Build a jitted sharded step.  Body count must divide the mesh size.
-    Always uses the scatter-free row solver."""
+    """Build a jitted sharded step (replicated all-gather fallback; prefer
+    :mod:`mgf_tpu.parallel.spatial` for scale).  Bodies are padded to a
+    mesh-size multiple.  Always uses the scatter-free row solver in its
+    single-phase form; config options this path does not honor are
+    rejected loudly rather than silently diverging (ADVICE r1)."""
+    import warnings
+    if cfg.two_phase:
+        warnings.warn(
+            "sharded step solves friction+normal from one relative "
+            "velocity (single-phase); cfg.two_phase=True is not honored — "
+            "set two_phase=False or use parallel.spatial", stacklevel=2)
+    if cfg.terrain_rows:
+        warnings.warn(
+            "sharded step does not compact terrain rows; cfg.terrain_rows "
+            "is ignored — use parallel.spatial", stacklevel=2)
 
     def _local_step(bodies: RigidBodyState, terrain, terrain_center):
         state = complete_motion(bodies)

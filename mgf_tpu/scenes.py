@@ -208,7 +208,7 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # grid: capsule pair reach exceeds the sel8 guarantee at this cell.
     if mixed:
         grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
-        bp, K, rows = "packed", 12, 0
+        bp, K, rows = "packed", 12, 16
     else:
         # grid modulus (dim * cell) must exceed the box span (2 * wall)
         # or occupied cells alias and buckets overflow silently
@@ -221,9 +221,10 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # 12-layer pile at max penetration ~0.18 where cold solves collapse
     # past 0.9 — see PERF.md
     cfg = WorldConfig(
-        dt=1.0 / 60.0, solver_iters=7, solver_inner=3, two_phase=False,
+        dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
+        terrain_bp="near", terrain_cand=4,
         grid=grid, max_pairs=K, fatten=0.02)
     from mgf_tpu.world import init_warm
     return init_warm(world, cfg), cfg

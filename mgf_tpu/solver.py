@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from mgf_tpu.manifold import Manifold
 from mgf_tpu.math3d import (
-    Mat3, Vec3, cross, dot, mat_vec, safe_div,
+    Mat3, Vec3, cross, dot, magnitude2, mat_vec, safe_div,
 )
 
 # DefaultContactConstraintParams (solver.rs:276-279)
@@ -430,6 +430,84 @@ def build_row_constraints(bodies: BodyView, partner, manifold: Manifold,
         tangent_mass1=tm(t1), tangent_mass2=tm(t2), valid=manifold.valid)
 
 
+def pack_solver_bodies_iso(bodies: BodyView, counts, iso_inv_moment):
+    """One (M, 16) table for the ISOTROPIC-inertia constraint precompute
+    (spheres: the world inverse inertia is a scalar per body, so the
+    partner side needs a single 16-wide gather instead of three 8-wide
+    ones, and every mat_vec collapses to a scalar multiply):
+
+    x.xyz v.xyz omega.xyz restitution friction inv_mass count i_iso _ _
+    """
+    z = jnp.zeros_like(bodies.inv_mass)
+    cnt = counts if counts is not None else jnp.ones_like(bodies.inv_mass)
+    return jnp.stack([
+        bodies.x.x, bodies.x.y, bodies.x.z,
+        bodies.v.x, bodies.v.y, bodies.v.z,
+        bodies.omega.x, bodies.omega.y, bodies.omega.z,
+        bodies.restitution, bodies.friction, bodies.inv_mass, cnt,
+        iso_inv_moment, z, z], axis=-1)
+
+
+def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
+                              dt, counts=None) -> RowConstraints:
+    """Scalar-inertia build_row_constraints (spheres mode): identical
+    physics to the Mat3 path when inv_moment == i * I3, at a third of the
+    gather and arithmetic cost."""
+    n = partner.shape[1]
+    iso = bodies.inv_moment.xx          # (M,) — diag isotropic by contract
+    tbl = pack_solver_bodies_iso(bodies, counts, iso)
+
+    sl = lambda t: jax.tree_util.tree_map(lambda g: g[:n][None, :], t)
+    xa = sl(bodies.x)
+    va, oa = sl(bodies.v), sl(bodies.omega)
+    ima = bodies.inv_mass[:n][None, :]
+    ia = iso[:n][None, :]
+    ra_ = bodies.restitution[:n][None, :]
+    fa = bodies.friction[:n][None, :]
+    sa = (counts[:n][None, :] if counts is not None else 1.0)
+
+    g = tbl[partner]                     # (R, N, 16): ONE gather
+    xb = Vec3(g[..., 0], g[..., 1], g[..., 2])
+    vb = Vec3(g[..., 3], g[..., 4], g[..., 5])
+    ob = Vec3(g[..., 6], g[..., 7], g[..., 8])
+    rb_ = g[..., 9]
+    fb = g[..., 10]
+    imb = g[..., 11]
+    sb = g[..., 12]
+    ib = g[..., 13]
+
+    restitution = jnp.maximum(ra_, rb_)
+    friction = jnp.sqrt(fa * fb)
+    if counts is not None:
+        ima = ima * sa
+        imb = imb * sb
+        ia = ia * sa
+        ib = ib * sb
+
+    ra = manifold.local_a
+    rb = manifold.local_b
+    nrm = manifold.normal
+    t1, t2 = manifold.t1, manifold.t2
+
+    pen = dot((rb + xb) - (ra + xa), nrm)
+    dv = vb + cross(ob, rb) - va - cross(oa, ra)
+    rel_v = dot(dv, nrm)
+    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
+                                        pen + PENETRATION_SLOP)
+            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+
+    def eff_mass(axis):
+        return safe_div(
+            1.0, ima + ia * magnitude2(cross(ra, axis))
+            + imb + ib * magnitude2(cross(rb, axis)))
+
+    return RowConstraints(
+        partner=partner, ra=ra, rb=rb, normal=nrm, t1=t1, t2=t2,
+        friction=friction, bias=bias, normal_mass=eff_mass(nrm),
+        tangent_mass1=eff_mass(t1), tangent_mass2=eff_mass(t2),
+        valid=manifold.valid)
+
+
 def pack_body_state(v: Vec3, omega: Vec3):
     """(8, M) packed dynamic state: rows vx vy vz ox oy oz pad pad."""
     z = jnp.zeros_like(v.x)
@@ -466,7 +544,13 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
     ima = inv_mass[:n]
-    Ia = inv_moment[:n]
+    if isinstance(inv_moment, Mat3):
+        Ia = jax.tree_util.tree_map(lambda g: g[:n], inv_moment)
+        apply_I = lambda vec: mat_vec(Ia, vec)
+    else:
+        # isotropic scalar inverse inertia array (spheres fast path)
+        ia_s = inv_moment[:n]
+        apply_I = lambda vec: vec * ia_s
 
     def partner_term(S):
         g = S[:, rc.partner]                        # (8, R, N) one gather
@@ -484,8 +568,8 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         imp = Vec3(imp.x * rc.valid, imp.y * rc.valid, imp.z * rc.valid)
         lin = Vec3(-imp.x.sum(0), -imp.y.sum(0), -imp.z.sum(0)) * ima
         ang_pt = -cross(rc.ra, imp)
-        ang = mat_vec(Ia, Vec3(ang_pt.x.sum(0), ang_pt.y.sum(0),
-                               ang_pt.z.sum(0)))
+        ang = apply_I(Vec3(ang_pt.x.sum(0), ang_pt.y.sum(0),
+                           ang_pt.z.sum(0)))
         return S.at[:6, :n].add(jnp.stack(
             [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z], axis=0))
 

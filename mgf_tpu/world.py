@@ -37,14 +37,15 @@ from mgf_tpu.collision import (
 )
 from mgf_tpu.geom import AABB, Capsule, Sphere, Triangle
 from mgf_tpu.manifold import Manifold, prune
-from mgf_tpu.math3d import Mat3, Quat, Vec3, dot, vfrom, where_vec
+from mgf_tpu.math3d import (Mat3, Quat, Vec3, dot, magnitude2, vfrom,
+                            where_vec)
 from mgf_tpu.physics import (
     SHAPE_CAPSULE, SHAPE_SPHERE, RigidBodyState, complete_motion, colliders,
     integrate,
 )
 from mgf_tpu.solver import (
     BodyView, ContactConstraints, build_constraints, build_row_constraints,
-    solve_parallel, solve_rows, solve_sequential,
+    build_row_constraints_iso, solve_parallel, solve_rows, solve_sequential,
 )
 
 
@@ -73,6 +74,13 @@ class WorldConfig(NamedTuple):
     terrain_grid_cfg: GridConfig = None  # face-table geometry ("grid";
                                      # must match make_world's
                                      # terrain_grid_cfg)
+    bp_margin: float = 0.0           # > 0: cache the candidate pair list
+                                     # across steps, built with this much
+                                     # extra fat, and rebuild only when a
+                                     # body drifts > margin/2 from its
+                                     # build anchor (fat-proxy refit
+                                     # semantics, world.rs:233-238); the
+                                     # world must carry init_bp_cache state
     warm_start: bool = False         # rows solver: persist accumulated
                                      # impulses across frames (matched by
                                      # (partner, slot/triangle) keys) and
@@ -90,6 +98,20 @@ class WorldConfig(NamedTuple):
                                      # per-sweep partner gather and impulse
                                      # math scale with the row count
                                      # (0 = keep every slot row)
+
+
+class BpCache(NamedTuple):
+    """Cached broadphase candidate list + the positions it was built at.
+
+    The TPU analog of the reference's fat proxies (world.rs:233-238 +
+    ``bounds + 0.25``, world.rs:181): candidates built with an extra
+    ``cfg.bp_margin`` of slack stay CONSERVATIVE until some body drifts
+    more than margin/2 from its anchor, so settled scenes skip the grid
+    build + candidate cull entirely on most steps."""
+    partner: jnp.ndarray   # (N, K) int32
+    ok: jnp.ndarray        # (N, K) bool
+    anchor: Vec3           # positions at build time (end-of-sweep)
+    overflow: jnp.ndarray  # () int32 from the build
 
 
 class SolverWarm(NamedTuple):
@@ -111,6 +133,7 @@ class World(NamedTuple):
                                       # cfg.terrain_bp == "grid" (built by
                                       # make_world(terrain_grid_cfg=...))
     warm: SolverWarm = None           # cfg.warm_start state (init_warm)
+    bp: BpCache = None                # cfg.bp_margin state (init_bp_cache)
 
 
 def solver_row_count(cfg: WorldConfig, n_tris: int) -> int:
@@ -118,7 +141,7 @@ def solver_row_count(cfg: WorldConfig, n_tris: int) -> int:
     n_slots = 1 if cfg.shape_mode == "spheres" else 2
     r = n_slots * cfg.max_pairs
     if n_tris > 0:
-        t_width = (cfg.terrain_cand if cfg.terrain_bp == "grid"
+        t_width = (cfg.terrain_cand if cfg.terrain_bp in ("grid", "near")
                    else n_tris)
         t_rows = n_slots * t_width
         if cfg.terrain_rows and t_rows > cfg.terrain_rows:
@@ -127,6 +150,17 @@ def solver_row_count(cfg: WorldConfig, n_tris: int) -> int:
     if cfg.solver_rows and r > cfg.solver_rows:
         r = cfg.solver_rows
     return r
+
+
+def init_bp_cache(world: World, cfg: WorldConfig) -> World:
+    """Attach an (invalid) broadphase cache; the first step rebuilds."""
+    n = world.bodies.n_bodies
+    return world._replace(bp=BpCache(
+        partner=jnp.full((n, cfg.max_pairs), -1, jnp.int32),
+        ok=jnp.zeros((n, cfg.max_pairs), bool),
+        anchor=Vec3(jnp.full((n,), 1.0e9), jnp.full((n,), 1.0e9),
+                    jnp.full((n,), 1.0e9)),
+        overflow=jnp.int32(0)))
 
 
 def init_warm(world: World, cfg: WorldConfig) -> World:
@@ -362,24 +396,60 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     span_excess = (jnp.maximum(jnp.maximum(
         span(bounds.c.x), jnp.maximum(span(bounds.c.y), span(bounds.c.z)))
         / modulus - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
+    new_bp = world.bp
     if cfg.use_grid and cfg.broadphase in ("fat", "fat8", "fat8x4"):
-        grid = broadphase.build_fat_grid(
-            bounds, cfg.grid, width=4 if cfg.broadphase == "fat8x4" else 8)
-        partner, pair_ok = broadphase.fat_grid_pairs(
-            bounds, grid, cfg.grid, cfg.max_pairs, ordered=not rows_form,
-            window="27" if cfg.broadphase == "fat" else "sel8")
-        overflow = grid.overflow
+        use_cache = cfg.bp_margin > 0.0 and world.bp is not None
+
+        def build_pairs(bnds):
+            grid = broadphase.build_fat_grid(
+                bnds, cfg.grid,
+                width=4 if cfg.broadphase == "fat8x4" else 8)
+            partner, pair_ok = broadphase.fat_grid_pairs(
+                bnds, grid, cfg.grid, cfg.max_pairs,
+                ordered=not rows_form,
+                window="27" if cfg.broadphase == "fat" else "sel8")
+            return partner, pair_ok, grid.overflow
+
+        if use_cache:
+            # fat-proxy refit semantics: rebuild only when some body has
+            # drifted > margin/2 from the position the cache was built at
+            x_end = state.x + state.delta
+            drift2 = magnitude2(x_end - world.bp.anchor)
+            need = jnp.max(drift2) > (0.5 * cfg.bp_margin) ** 2
+            fat_bounds = broadphase.swept_fat_bounds(
+                _body_bounds(cfg, sv), state.delta,
+                cfg.fatten + cfg.bp_margin)
+
+            def rebuild(_):
+                p, ok, of = build_pairs(fat_bounds)
+                return p, ok, of, x_end.x, x_end.y, x_end.z
+
+            def reuse(_):
+                b = world.bp
+                return (b.partner, b.ok, b.overflow,
+                        b.anchor.x, b.anchor.y, b.anchor.z)
+
+            partner, pair_ok, overflow, ax, ay, az = jax.lax.cond(
+                need, rebuild, reuse, None)
+            new_bp = BpCache(partner=partner, ok=pair_ok,
+                             anchor=Vec3(ax, ay, az), overflow=overflow)
+            bp_rebuilt = need
+        else:
+            partner, pair_ok, overflow = build_pairs(bounds)
+            bp_rebuilt = jnp.bool_(True)
     elif cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid)
         cand = broadphase.neighbor_candidates(bounds.c, table, cfg.grid)
         partner, pair_ok = broadphase.refine_pairs(
             bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = table.overflow
+        bp_rebuilt = jnp.bool_(True)
     else:
         cand = broadphase.all_pairs_candidates(n)
         partner, pair_ok = broadphase.refine_pairs(
             bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = jnp.int32(0)
+        bp_rebuilt = jnp.bool_(True)
 
     # ---- body-body narrowphase over the flattened partner matrix ----
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
@@ -426,7 +496,39 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     idx_a = [rows]
     idx_b = [cols]
     if n_tris > 0:
-        if cfg.terrain_bp == "grid":
+        if cfg.terrain_bp == "near":
+            # dense AABB-distance cull: the body-to-face-AABB distance
+            # lower-bounds the true distance, so keeping the terrain_cand
+            # nearest faces within reach is conservative; the expensive
+            # continuous contact math then runs on (N, terrain_cand)
+            # instead of (N, T).  Right for small-to-mid T (walls/floors).
+            ta = world.terrain
+            tlo = [jnp.minimum(jnp.minimum(ta.a.x, ta.b.x), ta.c.x),
+                   jnp.minimum(jnp.minimum(ta.a.y, ta.b.y), ta.c.y),
+                   jnp.minimum(jnp.minimum(ta.a.z, ta.b.z), ta.c.z)]
+            thi = [jnp.maximum(jnp.maximum(ta.a.x, ta.b.x), ta.c.x),
+                   jnp.maximum(jnp.maximum(ta.a.y, ta.b.y), ta.c.y),
+                   jnp.maximum(jnp.maximum(ta.a.z, ta.b.z), ta.c.z)]
+            px = [state.x.x, state.x.y, state.x.z]
+            d2 = jnp.zeros((n, n_tris), jnp.float32)
+            for k in range(3):
+                d_ax = jnp.maximum(
+                    jnp.maximum(tlo[k][None, :] - px[k][:, None],
+                                px[k][:, None] - thi[k][None, :]), 0.0)
+                d2 = d2 + d_ax * d_ax
+            reach = (state.shape_r + state.shape_half_h
+                     + jnp.sqrt(magnitude2(state.delta)) + 0.1)
+            score = jnp.where(d2 <= (reach * reach)[:, None], -d2, -jnp.inf)
+            top, pick = jax.lax.top_k(score, cfg.terrain_cand)
+            t_cand = pick.astype(jnp.int32)
+            t_ok = jnp.isfinite(top)
+            t_width = cfg.terrain_cand
+            t_rows = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None],
+                (n, t_width)).reshape(-1)
+            t_tris = jnp.where(t_ok, t_cand, 0).reshape(-1)
+            t_valid = t_ok.reshape(-1)
+        elif cfg.terrain_bp == "grid":
             tg = cfg.terrain_grid_cfg
             tcols = []
             centers = state.x
@@ -468,7 +570,23 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 jnp.arange(n_tris, dtype=jnp.int32)[None, :],
                 (n, n_tris)).reshape(-1)
             t_valid = None
-        tri = jax.tree_util.tree_map(lambda x: x[t_tris], world.terrain)
+        if cfg.terrain_bp in ("near", "grid"):
+            # t_tris is a REAL gather here (not a broadcast iota): fetch
+            # all nine triangle components in one 12-wide row gather
+            # instead of nine scalar ones (TPU gather cost is per index)
+            ta_ = world.terrain
+            z9 = jnp.zeros_like(ta_.a.x)
+            tpack = jnp.stack([ta_.a.x, ta_.a.y, ta_.a.z,
+                               ta_.b.x, ta_.b.y, ta_.b.z,
+                               ta_.c.x, ta_.c.y, ta_.c.z,
+                               z9, z9, z9], axis=-1)     # (T, 12)
+            gtri = tpack[t_tris]
+            tri = Triangle(a=Vec3(gtri[:, 0], gtri[:, 1], gtri[:, 2]),
+                           b=Vec3(gtri[:, 3], gtri[:, 4], gtri[:, 5]),
+                           c=Vec3(gtri[:, 6], gtri[:, 7], gtri[:, 8]))
+        else:
+            tri = jax.tree_util.tree_map(lambda x: x[t_tris],
+                                         world.terrain)
         gt = gather_shapes(cfg, ps, t_rows)
         tc = _terrain_contact(cfg, gt, tri)
         if t_valid is not None:
@@ -574,16 +692,36 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         if cfg.solver_rows and man_rows.valid.shape[0] > cfg.solver_rows:
             # compact to the top-k valid rows per body (earliest TOI first):
             # identical physics whenever a body has <= k contacts; beyond
-            # that the latest-TOI rows are dropped (counted in metrics)
+            # that the latest-TOI rows are dropped (counted in metrics).
+            # All 19 per-row fields ride in ONE packed (R0, N, 20) array so
+            # the selection is a single wide-row gather, not 19 scalar ones
+            # (body indices < 2^24 are exact in f32).
             kk = cfg.solver_rows
             n_valid = jnp.sum(man_rows.valid, axis=0)
             score = (man_rows.valid.astype(jnp.float32)
                      * (2.0 - jnp.clip(man_rows.time, 0.0, 1.0)))
+            m = man_rows
+            packed = jnp.stack([
+                m.time, m.normal.x, m.normal.y, m.normal.z,
+                m.t1.x, m.t1.y, m.t1.z, m.t2.x, m.t2.y, m.t2.z,
+                m.local_a.x, m.local_a.y, m.local_a.z,
+                m.local_b.x, m.local_b.y, m.local_b.z,
+                m.valid.astype(jnp.float32),
+                partner_rows.astype(jnp.float32),
+                key2_rows.astype(jnp.float32),
+                jnp.zeros_like(m.time)], axis=-1)       # (R0, N, 20)
             _, r_idx = jax.lax.top_k(score.T, kk)        # (N, kk)
-            sel = lambda f: jnp.take_along_axis(f, r_idx.T, axis=0)
-            man_rows = jax.tree_util.tree_map(sel, man_rows)
-            partner_rows = sel(partner_rows)
-            key2_rows = sel(key2_rows)
+            g = jnp.take_along_axis(packed, r_idx.T[:, :, None], axis=0)
+            man_rows = Manifold(
+                time=g[..., 0],
+                normal=Vec3(g[..., 1], g[..., 2], g[..., 3]),
+                t1=Vec3(g[..., 4], g[..., 5], g[..., 6]),
+                t2=Vec3(g[..., 7], g[..., 8], g[..., 9]),
+                local_a=Vec3(g[..., 10], g[..., 11], g[..., 12]),
+                local_b=Vec3(g[..., 13], g[..., 14], g[..., 15]),
+                valid=g[..., 16] > 0.5)
+            partner_rows = g[..., 17].astype(jnp.int32)
+            key2_rows = g[..., 18].astype(jnp.int32)
             rows_dropped = jnp.sum(
                 jnp.maximum(n_valid - kk, 0)).astype(jnp.int32)
 
@@ -594,23 +732,37 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
              jnp.ones((1,), jnp.float32)])
         counts = jnp.maximum(counts, 1.0)
 
-        rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
-                                   cfg.dt, counts=counts)
+        # spheres: the world inverse inertia is isotropic (diag scalar) —
+        # one 16-wide partner gather + scalar-inertia math replaces three
+        # 8-wide gathers + Mat3 chains in the precompute and the sweeps
+        iso_mode = cfg.shape_mode == "spheres"
+        if iso_mode:
+            rc = build_row_constraints_iso(bodies_ext, partner_rows,
+                                           man_rows, cfg.dt, counts=counts)
+            solver_inertia = bodies_ext.inv_moment.xx
+        else:
+            rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
+                                       cfg.dt, counts=counts)
+            solver_inertia = bodies_ext.inv_moment
         warm = None
         if cfg.warm_start and world.warm is not None:
-            # match this frame's rows to last frame's by (partner, key2)
+            # match this frame's rows to last frame's by (partner, key2);
+            # the three accumulators ride in one packed array so the
+            # matched fetch is a single wide gather
             eq = ((partner_rows[:, None, :] == world.warm.partner[None])
                   & (key2_rows[:, None, :] == world.warm.key2[None]))
             found = jnp.any(eq, axis=1)
             pick = jnp.argmax(eq, axis=1)                # (R, N)
-            take = lambda a: (jnp.take_along_axis(a, pick, axis=0)
-                              * found)
-            warm = (take(world.warm.acc_n), take(world.warm.acc_t1),
-                    take(world.warm.acc_t2))
+            acc3 = jnp.stack([world.warm.acc_n, world.warm.acc_t1,
+                              world.warm.acc_t2, world.warm.acc_n * 0.0],
+                             axis=-1)                    # (Rp, N, 4)
+            g3 = jnp.take_along_axis(acc3, pick[:, :, None], axis=0)
+            warm = (g3[..., 0] * found, g3[..., 1] * found,
+                    g3[..., 2] * found)
         if cfg.warm_start:
             v, omega, acc = solve_rows(
                 rc, bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass,
-                bodies_ext.inv_moment, cfg.solver_iters, cfg.friction_mode,
+                solver_inertia, cfg.solver_iters, cfg.friction_mode,
                 cfg.two_phase, cfg.solver_inner, warm=warm, return_acc=True)
             new_warm = SolverWarm(partner=jnp.where(rc.valid, partner_rows,
                                                     -9),
@@ -618,7 +770,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                   acc_t1=acc[1], acc_t2=acc[2])
         else:
             v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
-                                  bodies_ext.inv_mass, bodies_ext.inv_moment,
+                                  bodies_ext.inv_mass, solver_inertia,
                                   cfg.solver_iters, cfg.friction_mode,
                                   cfg.two_phase, cfg.solver_inner)
             new_warm = world.warm
@@ -670,6 +822,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
         "broadphase_span_excess": span_excess,
+        "broadphase_rebuilt": bp_rebuilt,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
@@ -685,7 +838,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         if n_tris > 0:
             metrics["terrain_contacts"] = dict(i=t_rows, tri=t_tris,
                                                contact=tc)
-    return world._replace(bodies=state, warm=new_warm), metrics
+    return world._replace(bodies=state, warm=new_warm, bp=new_bp), metrics
 
 
 def make_step_fn(cfg: WorldConfig):

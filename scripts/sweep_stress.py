@@ -40,9 +40,14 @@ def run_cfg(name, world, cfg, rewarm=20, iters=30):
         w, m = f(w)
     jax.block_until_ready(w)
     dt = (time.perf_counter() - t0) / iters
-    # quality sampled at the end of the window
+    # quality sampled at the end of the window + rebuild rate probe
+    rebuilds = 0
+    for i in range(20):
+        w, m = f(w)
+        rebuilds += int(np.asarray(m.get("broadphase_rebuilt", True)))
     m = jax.tree_util.tree_map(np.asarray, m)
-    out = dict(name=name, steps_per_sec=round(1.0 / dt, 2),
+    out = dict(name=name, rebuild20=rebuilds,
+               steps_per_sec=round(1.0 / dt, 2),
                ms=round(dt * 1e3, 1), compile_s=round(comp, 1),
                contacts=int(m["num_contacts"]),
                overflow=int(m["broadphase_overflow"]),
@@ -62,9 +67,6 @@ def main():
 
     from mgf_tpu.world import init_warm
     world, base_cfg = stress_scene(args.bodies)
-    base_cfg = base_cfg._replace(
-        warm_start=True, grid=base_cfg.grid._replace(bucket_cap=24))
-    world = init_warm(world, base_cfg)
     f = jax.jit(functools.partial(step, cfg=base_cfg))
     t0 = time.perf_counter()
     w = world
@@ -79,26 +81,23 @@ def main():
 
     g = lambda cell, dim, cap: GridConfig(cell_size=cell, dim=dim,
                                           bucket_cap=cap)
+    from mgf_tpu.world import init_bp_cache
     dim = base_cfg.grid.dim
     CANDS = {
-        "a": [
-            ("warm 7x3 x4 2.4/24 rows8", base_cfg),
-            ("warm 4x3", base_cfg._replace(solver_iters=4)),
-            ("warm 4x2 K8 rows7", base_cfg._replace(
-                solver_iters=4, solver_inner=2, max_pairs=8,
-                solver_rows=7)),
-            ("cold 7x3 (no warm)", base_cfg._replace(warm_start=False)),
-        ],
-        "b": [
-            ("warm 3x3", base_cfg._replace(solver_iters=3)),
-            ("warm 4x3 cap20", base_cfg._replace(
-                solver_iters=4, grid=g(2.4, dim, 20))),
-            ("warm 4x3 cell2.2/cap18", base_cfg._replace(
-                solver_iters=4, grid=g(2.2, dim, 18))),
+        "d": [
+            ("base (ikey, packed, 4x4)", base_cfg),
+            ("pallas narrowphase", base_cfg._replace(
+                pallas_narrowphase=True)),
         ],
     }
     for name, cfg in CANDS[args.set]:
         wc = w if cfg.warm_start else w._replace(warm=None)
+        if cfg.bp_margin > 0:
+            wc = init_bp_cache(wc, cfg)
+        if cfg.max_pairs != base_cfg.max_pairs or (
+                cfg.solver_rows != base_cfg.solver_rows):
+            from mgf_tpu.world import init_warm
+            wc = init_warm(wc._replace(warm=None), cfg)
         run_cfg(name, wc, cfg)
 
 
