@@ -66,9 +66,12 @@ def balls_scene(num: int = 11, with_dropped: bool = True,
                      friction=0.6)
     world = make_world(b.build(), _TERRAIN_VERTS, _TERRAIN_FACES,
                        terrain_center=(0.0, -10.0, 0.0))
+    # cell 2.0 >= the worst pair reach (settled ball 0.77 + the dropped
+    # ball at terminal sweep ~1.15) — cell 1.6 left a 0.2 window-coverage
+    # gap while the y=130 drop is in flight (broadphase_reach_excess)
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=20, shape_mode="spheres", solver=solver,
-        grid=GridConfig(cell_size=1.6, dim=64, bucket_cap=8),
+        grid=GridConfig(cell_size=2.0, dim=64, bucket_cap=10),
         max_pairs=16, fatten=0.25, terrain_rows=4)
     return world, cfg
 

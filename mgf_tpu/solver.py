@@ -475,6 +475,9 @@ def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
     imb = g[..., 11]
     sb = g[..., 12]
     ib = g[..., 13]
+    # partner term for the solver's first sweep — rides for free on this
+    # gather (the solver would otherwise re-fetch the same initial state)
+    partner_term0 = vb + cross(ob, manifold.local_b)
 
     restitution = jnp.maximum(ra_, rb_)
     friction = jnp.sqrt(fa * fb)
@@ -501,11 +504,12 @@ def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
             1.0, ima + ia * magnitude2(cross(ra, axis))
             + imb + ib * magnitude2(cross(rb, axis)))
 
-    return RowConstraints(
+    rc = RowConstraints(
         partner=partner, ra=ra, rb=rb, normal=nrm, t1=t1, t2=t2,
         friction=friction, bias=bias, normal_mass=eff_mass(nrm),
         tangent_mass1=eff_mass(t1), tangent_mass2=eff_mass(t2),
         valid=manifold.valid)
+    return rc, partner_term0
 
 
 def pack_body_state(v: Vec3, omega: Vec3):
@@ -522,7 +526,8 @@ def unpack_body_state(S):
 def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                inv_moment: Mat3, iters: int,
                friction_mode: str = "textbook", two_phase: bool = True,
-               inner_iters: int = 1, warm=None, return_acc: bool = False):
+               inner_iters: int = 1, warm=None, return_acc: bool = False,
+               partner_term0: Vec3 = None):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
     rows; only the first N (= rc.partner.shape[1]) bodies are updated.
     Returns updated (v, omega) for all M rows (statics unchanged).
@@ -540,6 +545,12 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     this is a documented stability EXTENSION (SURVEY §7.7), off by
     default.  With ``return_acc`` the final accumulators are returned for
     the next frame.
+
+    ``partner_term0`` is the first sweep's frozen partner term
+    (vb + omega_b x rb from the PRE-solve state), typically reused from
+    the constraint precompute's gather; the warm pre-apply then counts as
+    "iteration -1" of the block-Jacobi scheme (partner impulses land one
+    sweep later — same convergence class, one fewer (8, R, N) gather).
     """
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
@@ -573,10 +584,7 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         return S.at[:6, :n].add(jnp.stack(
             [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z], axis=0))
 
-    def sweep(carry, _):
-        S, acc_n, acc_t1, acc_t2 = carry
-        frozen = partner_term(S)
-
+    def sweep_with(frozen, carry):
         def inner(carry2, _):
             S, acc_n, acc_t1, acc_t2 = carry2
             dv = frozen - self_term(S)
@@ -596,7 +604,11 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
             carry, _ = inner(carry, None)
         else:
             carry, _ = jax.lax.scan(inner, carry, None, length=inner_iters)
-        return carry, None
+        return carry
+
+    def sweep(carry, _):
+        S = carry[0]
+        return sweep_with(partner_term(S), carry), None
 
     zero = jnp.zeros(rc.valid.shape, jnp.float32)
     if warm is None:
@@ -605,8 +617,13 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         wn, wt1, wt2 = [w * rc.valid for w in warm]
         S = apply_self(S, rc.t1 * wt1 + rc.t2 * wt2 + rc.normal * wn)
         acc0 = (wn, wt1, wt2)
+    carry = (S,) + acc0
+    n_outer = iters
+    if partner_term0 is not None and iters >= 1:
+        carry = sweep_with(partner_term0, carry)
+        n_outer = iters - 1
     (S, acc_n, acc_t1, acc_t2), _ = jax.lax.scan(
-        sweep, (S,) + acc0, None, length=iters)
+        sweep, carry, None, length=n_outer)
     v_out, o_out = unpack_body_state(S)
     if return_acc:
         return v_out, o_out, (acc_n, acc_t1, acc_t2)

@@ -36,3 +36,39 @@ def test_metrics_log():
     log.append({"a": jnp.float32(3.0), "b": jnp.int32(4)})
     s = log.summary()
     assert s["a"] == 2.0 and s["b"] == 3.0
+
+
+def test_debug_validate_world():
+    import pytest
+    from mgf_tpu.scenes import balls_scene
+    from mgf_tpu.utils.debug import check_step_metrics, validate_world
+    from mgf_tpu.world import init_warm, make_step_fn
+
+    w, cfg = balls_scene(num=3, with_dropped=False)
+    validate_world(w, cfg)                      # clean world passes
+    f = make_step_fn(cfg)
+    w2, m = f(w)
+    validate_world(w2, cfg)
+    check_step_metrics(m)                       # healthy step passes
+
+    # corrupt a position -> caught
+    bad = w._replace(bodies=w.bodies._replace(
+        x=w.bodies.x._replace(y=w.bodies.x.y.at[0].set(jnp.nan))))
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_world(bad, cfg)
+
+    # stale warm state after body-count change -> caught
+    ww = init_warm(w, cfg._replace(warm_start=True))
+    from mgf_tpu.world import extend_world
+    from mgf_tpu.physics import SceneBuilder
+    b = SceneBuilder()
+    b.add_sphere((50.0, 0.0, 0.0), 0.5, 1.0, 0.0, 0.5)
+    grown = extend_world(ww, b.build())
+    with pytest.raises(ValueError, match="init_warm"):
+        validate_world(grown, cfg._replace(warm_start=True))
+
+    # degraded metrics -> caught
+    m_bad = dict(m)
+    m_bad["broadphase_overflow"] = jnp.int32(7)
+    with pytest.raises(ValueError, match="overflow"):
+        check_step_metrics(m_bad)
