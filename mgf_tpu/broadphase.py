@@ -116,19 +116,36 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8) -> FatGrid:
     rank = _bucket_ranks(sorted_h, n)
     ok = rank < cfg.bucket_cap
     if width == 4:
-        rows = jnp.stack([centers.x[order], centers.y[order],
-                          centers.z[order],
-                          order.astype(jnp.float32) + 0.5], axis=-1)
-        empty = jnp.zeros((4,), jnp.float32).at[3].set(-1.0)
-    else:
-        rows = jnp.stack([centers.x[order], centers.y[order],
-                          centers.z[order],
-                          r_eff[order], order.astype(jnp.float32) + 0.5,
-                          jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)],
-                         axis=-1)
-        # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
-        # (cap x width floats): one gather index fetches every occupant.
-        empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
+        # COMPONENT-BLOCKED bucket rows [x*cap | y*cap | z*cap | idx*cap]:
+        # the reader's per-component slices are lane-contiguous (cap-wide)
+        # instead of stride-4 scalar picks — the cull then runs as 8
+        # (N, cap) vector ops rather than 8*cap scalar-slot rounds.
+        cap = cfg.bucket_cap
+        ncell = cfg.dim ** 3
+        empty = jnp.concatenate(
+            [jnp.zeros((3 * cap,), jnp.float32),
+             jnp.full((cap,), -1.0, jnp.float32)])
+        table = jnp.broadcast_to(empty, (ncell, 4 * cap)).reshape(-1)
+        r = jnp.minimum(rank, cap - 1)
+        base = sorted_h * (4 * cap) + r
+        oob = ncell * 4 * cap
+        comps = [centers.x[order], centers.y[order], centers.z[order],
+                 order.astype(jnp.float32) + 0.5]
+        for k, vals in enumerate(comps):
+            table = table.at[jnp.where(ok, base + k * cap, oob)].set(
+                vals, mode='drop')
+        table = table.reshape(ncell, 4 * cap)
+        return FatGrid(table=table,
+                       overflow=jnp.sum(~ok).astype(jnp.int32),
+                       width=width, r_max=jnp.max(r_eff))
+    rows = jnp.stack([centers.x[order], centers.y[order],
+                      centers.z[order],
+                      r_eff[order], order.astype(jnp.float32) + 0.5,
+                      jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)],
+                     axis=-1)
+    # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
+    # (cap x width floats): one gather index fetches every occupant.
+    empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
     table = jnp.broadcast_to(empty, (cfg.dim ** 3 * cfg.bucket_cap, width))
     slot = sorted_h * cfg.bucket_cap + jnp.minimum(rank, cfg.bucket_cap - 1)
     table = table.at[jnp.where(ok, slot, cfg.dim ** 3 * cfg.bucket_cap)]\
@@ -192,6 +209,7 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
     cands = []
     scores = []
     keys = []
+    cap = cfg.bucket_cap
     for o in offsets:
         if window == "sel8":
             h = _bucket_index(cx + sx_o * o[0], cy + sy_o * o[1],
@@ -200,6 +218,31 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
             (dx, dy, dz) = o
             h = _bucket_index(cx + dx, cy + dy, cz + dz, cfg)
         bucket = grid.table[h]                   # (N, cap*width) ONE gather
+        if width == 4:
+            # component-blocked rows: lane-contiguous (N, cap) slices
+            bx = bucket[:, 0:cap]
+            by = bucket[:, cap:2 * cap]
+            bz = bucket[:, 2 * cap:3 * cap]
+            raw_idx = bucket[:, 3 * cap:4 * cap]
+            idx = raw_idx.astype(jnp.int32)
+            ddx = bx - sx[:, None]
+            ddy = by - sy[:, None]
+            ddz = bz - sz[:, None]
+            rr = grid.r_max + sr[:, None]
+            ok = ((raw_idx >= 0.0) & (jnp.abs(ddx) <= rr)
+                  & (jnp.abs(ddy) <= rr) & (jnp.abs(ddz) <= rr))
+            if ordered:
+                ok = ok & (idx < self_rows[:, None])
+            else:
+                ok = ok & (idx != self_rows[:, None])
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            if use_ikey:
+                q = jnp.minimum((d2 * inv_scale).astype(jnp.int32), 16383)
+                keys.append(jnp.where(ok, ((16383 - q) << 17) | idx, -1))
+            else:
+                cands.append(jnp.where(ok, idx, -1))
+                scores.append(jnp.where(ok, -d2, -jnp.inf))
+            continue
         bucket = bucket.reshape(-1, cfg.bucket_cap, width)
         for s in range(cfg.bucket_cap):
             row = bucket[:, s, :]
@@ -207,7 +250,7 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
             ddx = row[:, 0] - sx
             ddy = row[:, 1] - sy
             ddz = row[:, 2] - sz
-            rr = (grid.r_max if width == 4 else row[:, 3]) + sr
+            rr = row[:, 3] + sr
             ok = (row[:, idx_slot] >= 0.0) & (jnp.abs(ddx) <= rr) \
                 & (jnp.abs(ddy) <= rr) & (jnp.abs(ddz) <= rr)
             if ordered:
@@ -222,7 +265,10 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
                 cands.append(jnp.where(ok, idx, -1))
                 scores.append(jnp.where(ok, -d2, -jnp.inf))
     if use_ikey:
-        keym = jnp.stack(keys, axis=1)              # (N, W) int32
+        if width == 4:
+            keym = jnp.concatenate(keys, axis=1)    # 8 x (N, cap)
+        else:
+            keym = jnp.stack(keys, axis=1)          # (N, W) int32
         if keym.shape[1] <= max_pairs:
             pad = max_pairs - keym.shape[1]
             top = jnp.pad(keym, ((0, 0), (0, pad)), constant_values=-1)
@@ -230,8 +276,9 @@ def fat_grid_pairs(bounds: AABB, grid: FatGrid, cfg: GridConfig,
             top = jax.lax.top_k(keym, max_pairs)[0]
         valid = top >= 0
         return jnp.where(valid, top & 0x1FFFF, -1), valid
-    cand = jnp.stack(cands, axis=1)                 # (N, 27*cap)
-    score = jnp.stack(scores, axis=1)
+    join = jnp.concatenate if width == 4 else jnp.stack
+    cand = join(cands, axis=1)                      # (N, 27*cap)
+    score = join(scores, axis=1)
     if cand.shape[1] <= max_pairs:
         pad = max_pairs - cand.shape[1]
         partner = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)

@@ -74,6 +74,13 @@ class WorldConfig(NamedTuple):
     terrain_grid_cfg: GridConfig = None  # face-table geometry ("grid";
                                      # must match make_world's
                                      # terrain_grid_cfg)
+    profile_stage: str = ""          # "": full step.  Otherwise stop the
+                                     # pipeline after the named stage and
+                                     # return a probe scalar — keeps stage
+                                     # attribution in scripts/
+                                     # profile_stress.py in sync with the
+                                     # real pipeline (static, so each
+                                     # stage is its own jit cache entry)
     bp_margin: float = 0.0           # > 0: cache the candidate pair list
                                      # across steps, built with this much
                                      # extra fat, and rebuild only when a
@@ -396,6 +403,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     span_excess = (jnp.maximum(jnp.maximum(
         span(bounds.c.x), jnp.maximum(span(bounds.c.y), span(bounds.c.z)))
         / modulus - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
+    if cfg.profile_stage == "integrate":
+        return world, {"probe": jnp.sum(bounds.c.x)}
     new_bp = world.bp
     if cfg.use_grid and cfg.broadphase in ("fat", "fat8", "fat8x4"):
         use_cache = cfg.bp_margin > 0.0 and world.bp is not None
@@ -451,6 +460,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         overflow = jnp.int32(0)
         bp_rebuilt = jnp.bool_(True)
 
+    if cfg.profile_stage == "pairs":
+        return world, {"probe": jnp.sum(partner) + jnp.sum(pair_ok)}
+
     # ---- body-body narrowphase over the flattened partner matrix ----
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                             partner.shape).reshape(-1)
@@ -478,6 +490,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         contact=pc)
     n_slots = 1 if cfg.shape_mode == "spheres" else 2
     pair_manifold = prune(lc, max_contacts=n_slots)
+    if cfg.profile_stage == "narrow":
+        return world, {"probe": jnp.sum(pair_manifold.valid)
+                       + jnp.sum(pair_manifold.local_a.x)}
 
     def _deepest(c):
         """Max penetration depth over valid contacts ((ca-cb)·n > 0 when
@@ -602,6 +617,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
         max_pen = jnp.maximum(max_pen, _deepest(tc))
+    if cfg.profile_stage == "terrain":
+        return world, {"probe": sum(jnp.sum(m_.valid) for m_ in manifolds)
+                       + max_pen}
 
     # ---- extended body arrays: one virtual static row for the terrain ----
     srow = lambda g: jnp.concatenate(
@@ -724,6 +742,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             key2_rows = g[..., 18].astype(jnp.int32)
             rows_dropped = jnp.sum(
                 jnp.maximum(n_valid - kk, 0)).astype(jnp.int32)
+        if cfg.profile_stage == "rows":
+            return world, {"probe": jnp.sum(man_rows.valid)
+                           + jnp.sum(partner_rows)}
 
         # mass splitting: every contact of body i is in row i, so the
         # per-body count is a row reduction; partner counts are one gather.
@@ -745,6 +766,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                        cfg.dt, counts=counts)
             solver_inertia = bodies_ext.inv_moment
             pt0 = None
+        if cfg.profile_stage == "constraints":
+            return world, {"probe": jnp.sum(rc.bias)
+                           + jnp.sum(rc.normal_mass)}
         warm = None
         if cfg.warm_start and world.warm is not None:
             # match this frame's rows to last frame's by (partner, key2);

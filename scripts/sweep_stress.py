@@ -89,6 +89,12 @@ def main():
             ("pallas narrowphase", base_cfg._replace(
                 pallas_narrowphase=True)),
         ],
+        "e": [
+            ("3x5", base_cfg._replace(solver_iters=3, solver_inner=5)),
+            ("2x8", base_cfg._replace(solver_iters=2, solver_inner=8)),
+            ("3x5 pallas", base_cfg._replace(
+                solver_iters=3, solver_inner=5, pallas_narrowphase=True)),
+        ],
     }
     for name, cfg in CANDS[args.set]:
         wc = w if cfg.warm_start else w._replace(warm=None)
