@@ -194,20 +194,13 @@ def main():
     # headline: 100k-sphere stress scene, measured at the SETTLED pile
     # (12-layer box fill reaches steady state by ~150 steps; overflow and
     # max penetration below are the quality guards for that regime)
+    # NOTE: cfg.pallas_narrowphase measured +1.3% under the old row-major
+    # pair layout but -5% after the slot-major restructure (the kernel's
+    # (8, P) input assembly no longer rides free) — bench runs the jnp
+    # path; the kernel stays available and parity-tested.
     n = 10_000 if args.quick else args.bodies
     w, cfg = stress_scene(n, mixed=args.mixed)
-    if not args.mixed and jax.default_backend() != "cpu":
-        # fused Pallas pair narrowphase: measured +1.3% at 100k (PERF.md);
-        # fall back to the jnp path if the kernel fails on this backend
-        try:
-            sps, comp, world, m = time_steps(
-                w, cfg._replace(pallas_narrowphase=True),
-                warmup=180, iters=60)
-            cfg = None
-        except Exception:
-            pass
-    if cfg is not None:
-        sps, comp, world, m = time_steps(w, cfg, warmup=180, iters=60)
+    sps, comp, world, m = time_steps(w, cfg, warmup=180, iters=60)
     secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
     secondary["stress_broadphase_overflow"] = int(m["broadphase_overflow"])

@@ -656,7 +656,13 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
         eb = verts[ib]
         ab = eb - ea
         ab_cd = dot(ab, cap.d)
-        is_par = jnp.abs(ab_cd) == cd_mag * magnitude(ab)
+        # ROBUSTNESS divergence: the reference classifies an edge as
+        # capsule-parallel only on EXACT f32 equality (collision.rs:907),
+        # so a nearly-parallel edge falls into the quad path whose sliver
+        # Minkowski triangles have garbage normals — measured to fabricate
+        # t=0 contacts on far walls (caught by the f64 oracle).  Classify
+        # with a relative tolerance instead.
+        is_par = jnp.abs(ab_cd) >= cd_mag * magnitude(ab) * (1.0 - 1e-6)
         par_vert[ia] = par_vert[ia] | is_par
         par_vert[ib] = par_vert[ib] | is_par
         flip = ab_cd < 0.0
@@ -706,7 +712,13 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
         tri1 = Triangle(a=ea - cap.d, b=eb, c=eb - cap.d)
         p2 = plane_from_triangle(tri1)
         pcs = contact_plane_moving_sphere(p2, Sphere(c=cap.a, r=cap.r), v)
-        gate = pcs.valid & ~skip
+        # a sliver quad (edge nearly parallel to the axis but below the
+        # is_par tolerance) has a noise normal — skip its face test and
+        # fall through to the robust edge/vertex capsule raycasts
+        eab = eb - ea
+        quad_ok = (magnitude2(cross(cap.d, eab))
+                   > 1e-10 * cd_mag2 * magnitude2(eab))
+        gate = pcs.valid & ~skip & quad_ok
 
         on_quad = (gate & (best_sum_t > pcs.t)
                    & (contains_triangle_pt(tri0, pcs.a)
@@ -749,6 +761,24 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
                 valid=par_found))
     c4_second = Contact(a=best_par_b, b=best_par_b, n=plane.n, t=best_par_t,
                         valid=par_found & ~sum_wins)
+
+    def _near_axis(c: Contact):
+        """ROBUSTNESS divergence: sliver Minkowski triangles (edge nearly
+        parallel to the axis) have catastrophic containment denominators
+        in f32 and can admit projections far from the capsule — measured
+        fabricating t=0 contacts on walls 9 units away (caught by the f64
+        oracle).  Every legitimate stage-4 contact point lies on the
+        triangle within the capsule's surface reach of its axis at the
+        TOI, so filter by that exact property."""
+        shift = v * c.t
+        at = closest_pt_segment(
+            Segment(a=cap.a + shift, b=cap.a + shift + cap.d), c.a)
+        return magnitude2(c.a - at) <= (cap.r * 1.05 + 0.02) ** 2
+
+    c4_first = c4_first._replace(valid=c4_first.valid
+                                 & _near_axis(c4_first))
+    c4_second = c4_second._replace(valid=c4_second.valid
+                                   & _near_axis(c4_second))
 
     # ---- final priority selection into 2 slots ---------------------------
     miss = contact_miss(cap.a)

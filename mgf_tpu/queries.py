@@ -66,6 +66,81 @@ def raytrace_bodies(state, p: Vec3, d: Vec3, dt=jnp.inf) -> tuple:
     return inter, best
 
 
+def raytrace_mesh_grid(m: Mesh, grid, p: Vec3, d: Vec3, dt=jnp.inf,
+                       max_steps: int = 192) -> tuple:
+    """First-hit ray cast through a :class:`mgf_tpu.mesh.MeshGrid` by 3-D
+    DDA cell marching — the log-ish BVH::raytrace equivalent
+    (bvh.rs:345-369) for large meshes: only the faces in cells the ray
+    actually crosses are tested, with early exit on the first confirmed
+    hit.  Exact regardless of grid aliasing (candidate faces are re-tested
+    with the real triangle intersection).  Single ray; vmap for batches.
+
+    Returns (Intersection, face_index) like :func:`raytrace_mesh`.
+    """
+    tris = mesh_triangles(m)
+    T = m.n_faces
+    cap = grid.table.shape[1]
+    cs = grid.cell_size
+    mmask = grid.dim - 1
+
+    db = lambda t, k: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (k,) + jnp.shape(x)), t)
+
+    eps = 1e-12
+    inv = Vec3(*(jnp.where(jnp.abs(c) > eps, 1.0 / jnp.where(
+        jnp.abs(c) > eps, c, 1.0), jnp.inf) for c in (d.x, d.y, d.z)))
+    stepv = [jnp.where(c >= 0.0, 1, -1) for c in (d.x, d.y, d.z)]
+    cell0 = [jnp.floor(c / cs).astype(jnp.int32)
+             for c in (p.x, p.y, p.z)]
+
+    def t_next(cell, pc, dc, ic):
+        edge = (cell + (dc >= 0.0)) * cs
+        return jnp.where(jnp.isfinite(ic), (edge - pc) * ic, jnp.inf)
+
+    init = dict(cell=jnp.stack(cell0),
+                tmax=jnp.stack([
+                    t_next(cell0[0].astype(jnp.float32), p.x, d.x, inv.x),
+                    t_next(cell0[1].astype(jnp.float32), p.y, d.y, inv.y),
+                    t_next(cell0[2].astype(jnp.float32), p.z, d.z, inv.z)]),
+                best_t=jnp.asarray(jnp.inf, jnp.float32),
+                best_f=jnp.int32(-1),
+                t_entry=jnp.float32(0.0),
+                done=jnp.bool_(False))
+
+    def body(i, st):
+        cell = st["cell"]
+        h = (((cell[0] & mmask) * grid.dim + (cell[1] & mmask)) * grid.dim
+             + (cell[2] & mmask))
+        faces = grid.table[h]                       # (cap,)
+        safe = jnp.maximum(faces, 0)
+        tri = jax.tree_util.tree_map(lambda x: x[safe], tris)
+        inter = intersect_triangle(db(p, cap), db(d, cap), dt, tri)
+        tt = jnp.where(inter.hit & (faces >= 0), inter.t, jnp.inf)
+        k = jnp.argmin(tt)
+        better = tt[k] < st["best_t"]
+        best_t = jnp.where(better, tt[k], st["best_t"])
+        best_f = jnp.where(better, faces[k], st["best_f"])
+
+        # advance to the next cell along the smallest boundary crossing
+        ax = jnp.argmin(st["tmax"])
+        t_exit = st["tmax"][ax]
+        # a confirmed hit inside the already-traversed interval is final
+        done = st["done"] | (best_t <= t_exit) | (st["t_entry"] > dt)
+        cell = st["cell"].at[ax].add(
+            jnp.where(done, 0, jnp.stack(stepv)[ax]))
+        icomp = jnp.stack([inv.x, inv.y, inv.z])
+        tmax = st["tmax"].at[ax].add(
+            jnp.where(done, 0.0, jnp.abs(icomp[ax]) * cs))
+        return dict(cell=cell, tmax=tmax, best_t=best_t, best_f=best_f,
+                    t_entry=jnp.where(done, st["t_entry"], t_exit),
+                    done=done)
+
+    st = jax.lax.fori_loop(0, max_steps, body, init)
+    hit = jnp.isfinite(st["best_t"]) & (st["best_t"] <= dt)
+    out = Intersection(p=p + d * st["best_t"], t=st["best_t"], hit=hit)
+    return out, st["best_f"]
+
+
 def raytrace_mesh(m: Mesh, p: Vec3, d: Vec3, dt=jnp.inf) -> tuple:
     """First-hit ray/segment cast against a triangle mesh.
 

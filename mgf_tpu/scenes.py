@@ -211,7 +211,7 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # grid: capsule pair reach exceeds the sel8 guarantee at this cell.
     if mixed:
         grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
-        bp, K, rows = "packed", 12, 16
+        bp, K, rows, cand = "packed", 12, 16, 4
     else:
         # grid modulus (dim * cell) must exceed the box span (2 * wall)
         # or occupied cells alias and buckets overflow silently
@@ -219,15 +219,19 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         while dim * 2.4 < 2.0 * wall + 10.0:
             dim *= 2
         grid = GridConfig(cell_size=2.4, dim=dim, bucket_cap=24)
-        bp, K, rows = "fat8x4", 10, 8
+        # R = K + terrain_cand = 12 solver rows, NO compaction: the
+        # packed top-k selection's (R0, N, 20) intermediate pads its
+        # 20-wide minor dim 6.4x — measured slower than just solving the
+        # wider rows (and dropped rows go to 0)
+        bp, K, rows, cand = "fat8x4", 9, 0, 3
     # warm_start (cross-frame impulse accumulators) holds the settled
-    # 12-layer pile at max penetration ~0.18 where cold solves collapse
+    # 12-layer pile at max penetration ~0.17 where cold solves collapse
     # past 0.9 — see PERF.md
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
-        terrain_bp="near", terrain_cand=4,
+        terrain_bp="near", terrain_cand=cand,
         grid=grid, max_pairs=K, fatten=0.02)
     from mgf_tpu.world import init_warm
     return init_warm(world, cfg), cfg

@@ -294,8 +294,9 @@ def _pair_contact(cfg: WorldConfig, ga: GatheredShapes,
 
     va, vb = ga.delta, gb.delta
     if cfg.shape_mode == "spheres":
-        return two_slot(contact_moving_moving(
-            contact_sphere_moving_sphere, ga.sphere, va, gb.sphere, vb))
+        # sphere pairs emit exactly one contact — no second slot
+        return contact_stack([contact_moving_moving(
+            contact_sphere_moving_sphere, ga.sphere, va, gb.sphere, vb)])
     if cfg.shape_mode == "capsules":
         return two_slot(contact_moving_moving(
             contact_capsule_moving_capsule, ga.capsule, va, gb.capsule, vb))
@@ -328,8 +329,8 @@ def _terrain_contact(cfg: WorldConfig, gt: GatheredShapes,
     point, b = terrain point, n = -triangle_normal."""
     v = gt.delta
     if cfg.shape_mode == "spheres":
-        c = contact_triangle_moving_sphere(tri, gt.sphere, v)
-        out = contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
+        out = contact_stack([contact_triangle_moving_sphere(tri, gt.sphere,
+                                                            v)])
     elif cfg.shape_mode == "capsules":
         out = contact_triangle_moving_capsule(tri, gt.capsule, v)
     else:
@@ -464,10 +465,18 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         return world, {"probe": jnp.sum(partner) + jnp.sum(pair_ok)}
 
     # ---- body-body narrowphase over the flattened partner matrix ----
-    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                            partner.shape).reshape(-1)
-    cols = jnp.where(pair_ok, partner, 0).reshape(-1)
-    pair_valid = pair_ok.reshape(-1)
+    # SLOT-MAJOR flattening ((K, N): slot k of every body, N on lanes):
+    # the rows solver wants (slot, body) layout, so flattening this way
+    # makes the row assembly below pure (free) reshapes — the row-major
+    # form needed 17+ per-field (N, K) -> (K, N) transposes whose 10-wide
+    # minor dim padded to 128 lanes (measured 34 ms at 100k)
+    K = partner.shape[1]
+    partner_t = partner.T                          # (K, N) — 2 small
+    pair_ok_t = pair_ok.T                          # transposes total
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                            (K, n)).reshape(-1)
+    cols = jnp.where(pair_ok_t, partner_t, 0).reshape(-1)
+    pair_valid = pair_ok_t.reshape(-1)
 
     ps = pack_shapes(sv)
     ga = gather_shapes(cfg, ps, rows)
@@ -480,7 +489,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         gb8 = jnp.pad(ps.p8[cols], ((0, pad), (0, 0))).T
         c = sphere_contact_pairs(ga8, gb8, use_pallas=True)
         c = jax.tree_util.tree_map(lambda x: x[:P], c)
-        pc = contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
+        pc = contact_stack([c])
     else:
         pc = _pair_contact(cfg, ga, gb)                # slots (2, P)
     pc = pc._replace(valid=pc.valid & pair_valid[None, :])
@@ -539,10 +548,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_ok = jnp.isfinite(top)
             t_width = cfg.terrain_cand
             t_rows = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[:, None],
-                (n, t_width)).reshape(-1)
-            t_tris = jnp.where(t_ok, t_cand, 0).reshape(-1)
-            t_valid = t_ok.reshape(-1)
+                jnp.arange(n, dtype=jnp.int32)[None, :],
+                (t_width, n)).reshape(-1)
+            t_tris = jnp.where(t_ok, t_cand, 0).T.reshape(-1)
+            t_valid = t_ok.T.reshape(-1)
         elif cfg.terrain_bp == "grid":
             tg = cfg.terrain_grid_cfg
             tcols = []
@@ -572,18 +581,18 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_ok = jnp.isfinite(top)
             t_width = cfg.terrain_cand
             t_rows = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[:, None],
-                (n, t_width)).reshape(-1)
-            t_tris = jnp.where(t_ok, t_cand, 0).reshape(-1)
-            t_valid = t_ok.reshape(-1)
+                jnp.arange(n, dtype=jnp.int32)[None, :],
+                (t_width, n)).reshape(-1)
+            t_tris = jnp.where(t_ok, t_cand, 0).T.reshape(-1)
+            t_valid = t_ok.T.reshape(-1)
         else:
             t_width = n_tris
             t_rows = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[:, None],
-                (n, n_tris)).reshape(-1)
+                jnp.arange(n, dtype=jnp.int32)[None, :],
+                (n_tris, n)).reshape(-1)
             t_tris = jnp.broadcast_to(
-                jnp.arange(n_tris, dtype=jnp.int32)[None, :],
-                (n, n_tris)).reshape(-1)
+                jnp.arange(n_tris, dtype=jnp.int32)[:, None],
+                (n_tris, n)).reshape(-1)
             t_valid = None
         if cfg.terrain_bp in ("near", "grid"):
             # t_tris is a REAL gather here (not a broadcast iota): fetch
@@ -639,21 +648,15 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
 
     if rows_form:
         # ---- scatter-free row constraints ----
-        # reshape pair manifolds (S, N*K) -> slot-major (S*K, N); every
-        # contact of body i lives in row i (pairs appear once per side).
-        K = partner.shape[1]
+        # the pair lists were flattened SLOT-MAJOR ((width, N)), so
+        # turning manifolds into solver rows is pure reshapes.
 
         def man_to_rows(man, width):
-            """Manifold over P = n*width pairs -> slot-major rows.
-
-            slot fields (S, P) -> (S*width, n); per-pair fields (P,) are
-            tiled across the S slots they share (normal/tangents/time).
-            """
+            """Manifold over P = width*n (slot-major) -> (S*width, n)."""
             S = man.valid.shape[0]
-            slotf = lambda x: (x.reshape(S, n, width).swapaxes(1, 2)
-                               .reshape(S * width, n))
+            slotf = lambda x: x.reshape(S * width, n)
             pairf = lambda x: jnp.broadcast_to(
-                x.reshape(n, width).T[None], (S, width, n)).reshape(-1, n)
+                x.reshape(1, width, n), (S, width, n)).reshape(-1, n)
             return Manifold(
                 time=pairf(man.time),
                 normal=jax.tree_util.tree_map(pairf, man.normal),
@@ -667,7 +670,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         S_pair = pair_manifold.valid.shape[0]
         blocks = [man_to_rows(pair_manifold, K)]
         partners = [jnp.broadcast_to(
-            jnp.where(pair_ok, partner, n).T[None],
+            jnp.where(pair_ok_t, partner_t, n).reshape(1, K, n),
             (S_pair, K, n)).reshape(-1, n)]
         # warm-start row keys: pair rows keyed by manifold slot id;
         # terrain rows keyed by triangle id (partner there is the static
@@ -678,7 +681,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         if n_tris > 0:
             tman = man_to_rows(manifolds[1], t_width)    # (S*T, N)
             t_key2 = jnp.broadcast_to(
-                t_tris.reshape(n, t_width).T[None],
+                t_tris.reshape(1, t_width, n),
                 (n_slots, t_width, n)).reshape(-1, n).astype(jnp.int32)
             t_rows_n = tman.valid.shape[0]
             if cfg.terrain_rows and t_rows_n > cfg.terrain_rows:

@@ -95,6 +95,12 @@ def main():
             ("3x5 pallas", base_cfg._replace(
                 solver_iters=3, solver_inner=5, pallas_narrowphase=True)),
         ],
+        "f": [
+            ("norows R14", base_cfg._replace(solver_rows=0)),
+            ("norows K9 cand3 R12", base_cfg._replace(
+                solver_rows=0, max_pairs=9, terrain_cand=3)),
+            ("rows8 baseline", base_cfg),
+        ],
     }
     for name, cfg in CANDS[args.set]:
         wc = w if cfg.warm_start else w._replace(warm=None)

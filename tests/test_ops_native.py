@@ -122,3 +122,38 @@ def test_queries():
     inter, face = raytrace_mesh(m, V(0.5, 3.0, 0.5), V(0, -1, 0))
     assert bool(inter.hit)
     assert float(inter.t) == pytest.approx(3.0, abs=1e-5)
+
+
+def test_raytrace_mesh_grid_matches_dense():
+    """3-D DDA grid raytrace (BVH::raytrace equivalent for large meshes)
+    vs the dense scan, random downward rays over a heightfield."""
+    from mgf_tpu.math3d import Vec3
+    from mgf_tpu.mesh import build_mesh_grid, mesh_from_arrays
+    from mgf_tpu.queries import raytrace_mesh, raytrace_mesh_grid
+    from mgf_tpu.scenes import terrain_scene
+
+    w, _ = terrain_scene(n_bodies=10, grid_n=24)    # 1152 faces
+    verts = np.concatenate(
+        [np.stack([np.asarray(getattr(w.terrain, s).x),
+                   np.asarray(getattr(w.terrain, s).y),
+                   np.asarray(getattr(w.terrain, s).z)], -1)
+         for s in "abc"])
+    faces = np.arange(verts.shape[0]).reshape(3, -1).T
+    m = mesh_from_arrays(verts, faces)
+    grid = build_mesh_grid(m, cell_size=4.0, dim=16, cap=16)
+    assert int(grid.overflow) == 0
+
+    rng = np.random.default_rng(5)
+    v3 = lambda a: Vec3(*(jnp.float32(x) for x in a))
+    fd = jax.jit(lambda p, d: raytrace_mesh(m, p, d))
+    fg = jax.jit(lambda p, d: raytrace_mesh_grid(m, grid, p, d))
+    for i in range(12):
+        p = v3([rng.uniform(-20, 20), 25.0, rng.uniform(-20, 20)])
+        dv = np.asarray([rng.uniform(-0.4, 0.4), -1.0,
+                         rng.uniform(-0.4, 0.4)])
+        dv /= np.linalg.norm(dv)
+        i1, f1 = fd(p, v3(dv.tolist()))
+        i2, f2 = fg(p, v3(dv.tolist()))
+        assert bool(i1.hit) == bool(i2.hit)
+        if bool(i1.hit):
+            assert abs(float(i1.t) - float(i2.t)) < 1e-4
