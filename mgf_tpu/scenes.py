@@ -227,6 +227,10 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # warm_start (cross-frame impulse accumulators) holds the settled
     # 12-layer pile at max penetration ~0.17 where cold solves collapse
     # past 0.9 — see PERF.md
+    # mixed-mode note: capsule stacks settle at ~0.5 max penetration
+    # regardless of sweep budget or row count (measured 4x4 / 7x3 /
+    # uncompacted all ~0.52-0.68) — single-midpoint capsule manifolds
+    # rock under load; persistent 2-point manifolds are future work
     cfg = WorldConfig(
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
