@@ -77,7 +77,13 @@ def balls_scene(num: int = 11, with_dropped: bool = True,
 
 
 def capsules_scene(num: int = 11, solver: str = "rows"):
-    """The capsules demo scene (capsules.rs:66-95)."""
+    """The capsules demo scene (capsules.rs:66-95).
+
+    Faithful quirk: the reference grid spans x,z in [-27.5, 22.5]
+    (shift 2.5 * rad with rad=2.0) while the demo box is only +-10, so
+    MOST capsules miss the box and fall forever — exactly as in the
+    reference demo (verified against capsules.rs:77-95); only the middle
+    ~3x3 columns land and settle."""
     b = SceneBuilder()
     rad = 2.0
     pos = np.asarray(_grid_positions(num, 2.5 * rad), np.float32)
