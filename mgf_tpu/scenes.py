@@ -237,11 +237,28 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # regardless of sweep budget or row count (measured 4x4 / 7x3 /
     # uncompacted all ~0.52-0.68) — single-midpoint capsule manifolds
     # rock under load; persistent 2-point manifolds are future work
+    # r3: fused_iso + stable_pairs + positional warm matching eliminate the
+    # separate constraint-precompute and warm-match gathers and cut terrain
+    # rows from the per-sweep solver gather (PERF.md r3 section)
     cfg = WorldConfig(
+        # schedule: 4 outer x 4 inner.  The settled-state sweep prefers
+        # 3x6 (30.5 vs 28.3 steps/s at pen 0.10 vs 0.25) but 3 outer
+        # sweeps DIVERGE on the from-scratch collapse transient (pen ~1.0,
+        # the 10k pile scatters: /tmp probe s90..s360 c=5196->57 vs 4x4's
+        # 33634->62033) — block-Jacobi partner terms refresh only per
+        # OUTER sweep, and the collapse needs >=4 refreshes per step.
+        # Schedule changes must be validated from scratch, not settled.
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
         terrain_bp="near", terrain_cand=cand,
-        grid=grid, max_pairs=K, fatten=0.02)
+        grid=grid, max_pairs=K, fatten=0.02,
+        stable_pairs=True,
+        # "search" warm matching with the one-hot accumulator contraction
+        # is near-free; positional ("pos") matching measured 97% hit at the
+        # settled state but loses too much warm state during the collapse
+        # transient (contacts stall at ~455k vs 635k, pen 0.5 vs 0.13)
+        warm_match="search",
+        fused_iso=not mixed)
     from mgf_tpu.world import init_warm
     return init_warm(world, cfg), cfg

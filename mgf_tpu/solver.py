@@ -512,6 +512,101 @@ def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
     return rc, partner_term0
 
 
+class PartnerFields(NamedTuple):
+    """Pre-gathered partner-side quantities for the fused iso constraint
+    build: ONE wide row gather at narrowphase time serves both the contact
+    test and the constraint precompute (TPU gather cost is per index, and
+    rows up to ~100 B ride at the same per-index cost — see PERF.md).
+    All arrays (K, N) where K is the pair-row count."""
+    x_end: Vec3            # partner position at end of sweep (x + delta)
+    v: Vec3
+    omega: Vec3
+    restitution: jnp.ndarray
+    friction: jnp.ndarray
+    inv_mass: jnp.ndarray
+    count: jnp.ndarray     # mass-splitting contact count (clamped >= 1)
+    iso: jnp.ndarray       # isotropic world inverse inertia scalar
+
+
+def build_row_constraints_iso_fused(bodies: BodyView, counts,
+                                    pf: PartnerFields, partner,
+                                    manifold: Manifold, dt,
+                                    static_x: Vec3,
+                                    n_pair_rows: int) -> RowConstraints:
+    """Gather-free iso constraint precompute.
+
+    Identical physics to :func:`build_row_constraints_iso` given the same
+    inputs, but with the partner-side quantities supplied by the caller:
+
+    * rows ``[:n_pair_rows]`` read ``pf`` (pre-gathered at narrowphase
+      time — the fetch is fused with the pair contact test);
+    * rows ``[n_pair_rows:]`` have the static terrain body as partner —
+      zero inverse mass/inertia/velocity, position ``static_x``, zero
+      friction and restitution (``RigidBodyRef::Static``,
+      physics.rs:289-302 + world.rs:247) — so no gather is needed at all.
+
+    ``bodies`` covers the first N rows only (no static row) with ``x`` at
+    end-of-sweep; ``counts`` is the (N,) mass-splitting contact count
+    (callers using cross-frame warm state pass the PREVIOUS frame's counts,
+    a documented approximation that avoids serializing the count behind
+    this frame's narrowphase).
+    """
+    n = partner.shape[1]
+    T = partner.shape[0] - n_pair_rows
+    iso = bodies.inv_moment.xx
+
+    zt = jnp.zeros((T, n), jnp.float32)
+    cat = lambda p, t_: jnp.concatenate([p, t_], axis=0)
+    catv = lambda p, t_: Vec3(cat(p.x, t_.x), cat(p.y, t_.y),
+                              cat(p.z, t_.z))
+    zvt = Vec3(zt, zt, zt)
+
+    xb = catv(pf.x_end, Vec3(zt + static_x.x, zt + static_x.y,
+                             zt + static_x.z))
+    vb = catv(pf.v, zvt)
+    ob = catv(pf.omega, zvt)
+    rb_ = cat(pf.restitution, zt)
+    fb = cat(pf.friction, zt)
+    imb = cat(pf.inv_mass * pf.count, zt)   # pre-split by partner count
+    ib = cat(pf.iso * pf.count, zt)
+
+    # self side: broadcasts, no gather
+    sl = lambda g: g[None, :]
+    xa = jax.tree_util.tree_map(sl, bodies.x)
+    va = jax.tree_util.tree_map(sl, bodies.v)
+    oa = jax.tree_util.tree_map(sl, bodies.omega)
+    ima = (bodies.inv_mass * counts)[None, :]
+    ia = (iso * counts)[None, :]
+    ra_ = bodies.restitution[None, :]
+    fa = bodies.friction[None, :]
+
+    restitution = jnp.maximum(ra_, rb_)
+    friction = jnp.sqrt(fa * fb)
+
+    ra = manifold.local_a
+    rb = manifold.local_b
+    nrm = manifold.normal
+    t1, t2 = manifold.t1, manifold.t2
+
+    pen = dot((rb + xb) - (ra + xa), nrm)
+    dv = vb + cross(ob, rb) - va - cross(oa, ra)
+    rel_v = dot(dv, nrm)
+    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
+                                        pen + PENETRATION_SLOP)
+            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+
+    def eff_mass(axis):
+        return safe_div(
+            1.0, ima + ia * magnitude2(cross(ra, axis))
+            + imb + ib * magnitude2(cross(rb, axis)))
+
+    return RowConstraints(
+        partner=partner, ra=ra, rb=rb, normal=nrm, t1=t1, t2=t2,
+        friction=friction, bias=bias, normal_mass=eff_mass(nrm),
+        tangent_mass1=eff_mass(t1), tangent_mass2=eff_mass(t2),
+        valid=manifold.valid)
+
+
 def pack_body_state(v: Vec3, omega: Vec3):
     """(8, M) packed dynamic state: rows vx vy vz ox oy oz pad pad."""
     z = jnp.zeros_like(v.x)
@@ -527,7 +622,7 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                inv_moment: Mat3, iters: int,
                friction_mode: str = "textbook", two_phase: bool = True,
                inner_iters: int = 1, warm=None, return_acc: bool = False,
-               partner_term0: Vec3 = None):
+               partner_term0: Vec3 = None, n_gather_rows: int = None):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
     rows; only the first N (= rc.partner.shape[1]) bodies are updated.
     Returns updated (v, omega) for all M rows (statics unchanged).
@@ -551,6 +646,12 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     the constraint precompute's gather; the warm pre-apply then counts as
     "iteration -1" of the block-Jacobi scheme (partner impulses land one
     sweep later — same convergence class, one fewer (8, R, N) gather).
+
+    ``n_gather_rows`` (static): rows past this index have a STATIC partner
+    (zero velocity — terrain rows from the fused iso path), so their
+    partner term is identically zero and the per-sweep state gather only
+    fetches the leading ``n_gather_rows`` rows — the single hottest gather
+    in the whole step shrinks by the terrain-row fraction.
     """
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
@@ -563,11 +664,24 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         ia_s = inv_moment[:n]
         apply_I = lambda vec: vec * ia_s
 
+    R_tot = rc.partner.shape[0]
+    gather_all = n_gather_rows is None or n_gather_rows >= R_tot
+
     def partner_term(S):
-        g = S[:, rc.partner]                        # (8, R, N) one gather
+        if gather_all:
+            g = S[:, rc.partner]                    # (8, R, N) one gather
+            vb = Vec3(g[0], g[1], g[2])
+            ob = Vec3(g[3], g[4], g[5])
+            return vb + cross(ob, rc.rb)
+        g = S[:, rc.partner[:n_gather_rows]]        # (8, K, N): pair rows
         vb = Vec3(g[0], g[1], g[2])
         ob = Vec3(g[3], g[4], g[5])
-        return vb + cross(ob, rc.rb)
+        rbp = jax.tree_util.tree_map(lambda c: c[:n_gather_rows], rc.rb)
+        term = vb + cross(ob, rbp)
+        zt = jnp.zeros((R_tot - n_gather_rows, n), jnp.float32)
+        return Vec3(jnp.concatenate([term.x, zt], axis=0),
+                    jnp.concatenate([term.y, zt], axis=0),
+                    jnp.concatenate([term.z, zt], axis=0))
 
     def self_term(S):
         va = Vec3(S[0, :n][None], S[1, :n][None], S[2, :n][None])

@@ -105,6 +105,36 @@ class WorldConfig(NamedTuple):
                                      # per-sweep partner gather and impulse
                                      # math scale with the row count
                                      # (0 = keep every slot row)
+    stable_pairs: bool = False       # sort the candidate partner list (and
+                                     # the terrain candidate list) by index
+                                     # so row ORDER is deterministic while
+                                     # the partner SET is unchanged — the
+                                     # prerequisite for warm_match="pos".
+                                     # Also drops duplicate partners (grid
+                                     # modulus aliasing can bin the same
+                                     # body twice — ADVICE r2)
+    warm_match: str = "search"       # how warm-start rows are matched to
+                                     # the previous frame's:
+                                     # "search": full (R, R_prev, N)
+                                     #   (partner, key2) key search + a
+                                     #   matched-row accumulator gather
+                                     #   (order-robust, ~R*N gather cost);
+                                     # "pos": positional — a row warms only
+                                     #   if the SAME slot held the same
+                                     #   (partner, key2) last frame (zero
+                                     #   gathers; pair with stable_pairs,
+                                     #   which makes slots stable whenever
+                                     #   the partner set is unchanged)
+    fused_iso: bool = False          # spheres+rows+warm_start fast path:
+                                     # ONE wide partner gather at
+                                     # narrowphase time feeds contact test
+                                     # AND constraint precompute (with
+                                     # PREVIOUS-frame mass-splitting
+                                     # counts); terrain constraint rows
+                                     # skip partner gathers entirely
+                                     # (static body is known), including
+                                     # inside every solver sweep.
+                                     # Requires solver_rows == 0
 
 
 class BpCache(NamedTuple):
@@ -461,6 +491,20 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         overflow = jnp.int32(0)
         bp_rebuilt = jnp.bool_(True)
 
+    if cfg.stable_pairs:
+        # canonical slot order: sort each body's partner list by index
+        # (invalid slots to the end) and mask duplicate partners (modulus
+        # aliasing can bin one body into two windows — ADVICE r2).  The
+        # partner SET is unchanged; slot positions become deterministic,
+        # which is what warm_match="pos" needs.
+        big = jnp.int32(1 << 28)
+        p_s = jnp.sort(jnp.where(pair_ok, partner, big), axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((p_s.shape[0], 1), bool), p_s[:, 1:] == p_s[:, :-1]],
+            axis=1)
+        pair_ok = (p_s < big) & ~dup
+        partner = jnp.where(pair_ok, p_s, -1)
+
     if cfg.profile_stage == "pairs":
         return world, {"probe": jnp.sum(partner) + jnp.sum(pair_ok)}
 
@@ -470,29 +514,79 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # makes the row assembly below pure (free) reshapes — the row-major
     # form needed 17+ per-field (N, K) -> (K, N) transposes whose 10-wide
     # minor dim padded to 128 lanes (measured 34 ms at 100k)
+    # fused iso fast path (cfg.fused_iso): spheres + rows solver + warm
+    # start + no row compaction + culled terrain.  ONE wide partner gather
+    # at narrowphase time carries shape fields AND every quantity the
+    # constraint precompute needs; mass-splitting counts come from the
+    # PREVIOUS frame (free from the warm state) instead of serializing
+    # behind this frame's narrowphase.  All pair batches stay 2-D (K, N) so
+    # the self side is a pure broadcast.
+    fused = rows_form and cfg.fused_iso
+    if cfg.fused_iso:
+        if (cfg.shape_mode != "spheres" or not cfg.warm_start
+                or cfg.solver_rows or not rows_form
+                or (n_tris > 0 and cfg.terrain_bp not in ("near", "grid"))):
+            raise ValueError(
+                "cfg.fused_iso requires shape_mode='spheres', solver='rows',"
+                " warm_start=True, solver_rows=0, and a culled terrain_bp")
+
     K = partner.shape[1]
     partner_t = partner.T                          # (K, N) — 2 small
     pair_ok_t = pair_ok.T                          # transposes total
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                             (K, n)).reshape(-1)
-    cols = jnp.where(pair_ok_t, partner_t, 0).reshape(-1)
-    pair_valid = pair_ok_t.reshape(-1)
+    cols2 = jnp.where(pair_ok_t, partner_t, 0)
+    cols = cols2.reshape(-1)
 
-    ps = pack_shapes(sv)
-    ga = gather_shapes(cfg, ps, rows)
-    gb = gather_shapes(cfg, ps, cols)
-    if cfg.pallas_narrowphase and cfg.shape_mode == "spheres":
-        from mgf_tpu.ops import sphere_contact_pairs
-        P = rows.shape[0]
-        pad = (-P) % 4096
-        ga8 = jnp.pad(ps.p8[rows], ((0, pad), (0, 0))).T
-        gb8 = jnp.pad(ps.p8[cols], ((0, pad), (0, 0))).T
-        c = sphere_contact_pairs(ga8, gb8, use_pallas=True)
-        c = jax.tree_util.tree_map(lambda x: x[:P], c)
-        pc = contact_stack([c])
+    if fused:
+        from mgf_tpu.solver import PartnerFields
+        cnt_prev = jnp.maximum(jnp.sum(
+            (world.warm.partner != -9).astype(jnp.float32), axis=0), 1.0)
+        pw = jnp.stack([
+            sv.x.x, sv.x.y, sv.x.z,
+            sv.delta.x, sv.delta.y, sv.delta.z, sv.shape_r,
+            state.v.x, state.v.y, state.v.z,
+            state.omega.x, state.omega.y, state.omega.z,
+            state.restitution, state.friction, state.inv_mass,
+            cnt_prev, state.inv_moment.xx], axis=-1)   # (N, 18)
+        g18 = pw[cols2]                           # (K, N, 18) — THE gather
+        gx = Vec3(g18[..., 0], g18[..., 1], g18[..., 2])
+        gd = Vec3(g18[..., 3], g18[..., 4], g18[..., 5])
+        gb = GatheredShapes(x=gx, delta=gd,
+                            sphere=Sphere(c=gx, r=g18[..., 6]),
+                            capsule=None, shape_type=None)
+        exp = lambda a: a[None, :]
+        gax = Vec3(exp(sv.x.x), exp(sv.x.y), exp(sv.x.z))
+        gad = Vec3(exp(sv.delta.x), exp(sv.delta.y), exp(sv.delta.z))
+        ga = GatheredShapes(x=gax, delta=gad,
+                            sphere=Sphere(c=gax, r=exp(sv.shape_r)),
+                            capsule=None, shape_type=None)
+        pf = PartnerFields(
+            x_end=gx + gd,
+            v=Vec3(g18[..., 7], g18[..., 8], g18[..., 9]),
+            omega=Vec3(g18[..., 10], g18[..., 11], g18[..., 12]),
+            restitution=g18[..., 13], friction=g18[..., 14],
+            inv_mass=g18[..., 15], count=g18[..., 16], iso=g18[..., 17])
+        pair_valid = pair_ok_t                    # (K, N)
+        ps = None
+        pc = _pair_contact(cfg, ga, gb)           # slots (1, K, N)
     else:
-        pc = _pair_contact(cfg, ga, gb)                # slots (2, P)
-    pc = pc._replace(valid=pc.valid & pair_valid[None, :])
+        pair_valid = pair_ok_t.reshape(-1)
+        ps = pack_shapes(sv)
+        ga = gather_shapes(cfg, ps, rows)
+        gb = gather_shapes(cfg, ps, cols)
+        if cfg.pallas_narrowphase and cfg.shape_mode == "spheres":
+            from mgf_tpu.ops import sphere_contact_pairs
+            P = rows.shape[0]
+            pad = (-P) % 4096
+            ga8 = jnp.pad(ps.p8[rows], ((0, pad), (0, 0))).T
+            gb8 = jnp.pad(ps.p8[cols], ((0, pad), (0, 0))).T
+            c = sphere_contact_pairs(ga8, gb8, use_pallas=True)
+            c = jax.tree_util.tree_map(lambda x: x[:P], c)
+            pc = contact_stack([c])
+        else:
+            pc = _pair_contact(cfg, ga, gb)            # slots (2, P)
+    pc = pc._replace(valid=pc.valid & pair_valid[None])
     lc = LocalContact(
         local_a=pc.a - (ga.x + ga.delta * pc.t),
         local_b=pc.b - (gb.x + gb.delta * pc.t),
@@ -547,11 +641,6 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_cand = pick.astype(jnp.int32)
             t_ok = jnp.isfinite(top)
             t_width = cfg.terrain_cand
-            t_rows = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[None, :],
-                (t_width, n)).reshape(-1)
-            t_tris = jnp.where(t_ok, t_cand, 0).T.reshape(-1)
-            t_valid = t_ok.T.reshape(-1)
         elif cfg.terrain_bp == "grid":
             tg = cfg.terrain_grid_cfg
             tcols = []
@@ -580,11 +669,6 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_cand = jnp.take_along_axis(cand, pick, axis=1)
             t_ok = jnp.isfinite(top)
             t_width = cfg.terrain_cand
-            t_rows = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[None, :],
-                (t_width, n)).reshape(-1)
-            t_tris = jnp.where(t_ok, t_cand, 0).T.reshape(-1)
-            t_valid = t_ok.T.reshape(-1)
         else:
             t_width = n_tris
             t_rows = jnp.broadcast_to(
@@ -595,6 +679,26 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 (n_tris, n)).reshape(-1)
             t_valid = None
         if cfg.terrain_bp in ("near", "grid"):
+            if cfg.stable_pairs:
+                # canonical candidate order by triangle index (+ dedupe:
+                # grid-mode windows can bin one face twice) — stable slots
+                # for warm_match="pos"
+                tb = jnp.int32(1 << 28)
+                tcs = jnp.sort(jnp.where(t_ok, t_cand, tb), axis=1)
+                tdup = jnp.concatenate(
+                    [jnp.zeros((tcs.shape[0], 1), bool),
+                     tcs[:, 1:] == tcs[:, :-1]], axis=1)
+                t_ok = (tcs < tb) & ~tdup
+                t_cand = jnp.where(t_ok, tcs, 0)
+            t_rows = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :],
+                (t_width, n)).reshape(-1)
+            if fused:
+                t_tris = jnp.where(t_ok, t_cand, 0).T       # (T_w, N)
+                t_valid = t_ok.T
+            else:
+                t_tris = jnp.where(t_ok, t_cand, 0).T.reshape(-1)
+                t_valid = t_ok.T.reshape(-1)
             # t_tris is a REAL gather here (not a broadcast iota): fetch
             # all nine triangle components in one 12-wide row gather
             # instead of nine scalar ones (TPU gather cost is per index)
@@ -605,16 +709,16 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                ta_.c.x, ta_.c.y, ta_.c.z,
                                z9, z9, z9], axis=-1)     # (T, 12)
             gtri = tpack[t_tris]
-            tri = Triangle(a=Vec3(gtri[:, 0], gtri[:, 1], gtri[:, 2]),
-                           b=Vec3(gtri[:, 3], gtri[:, 4], gtri[:, 5]),
-                           c=Vec3(gtri[:, 6], gtri[:, 7], gtri[:, 8]))
+            tri = Triangle(a=Vec3(gtri[..., 0], gtri[..., 1], gtri[..., 2]),
+                           b=Vec3(gtri[..., 3], gtri[..., 4], gtri[..., 5]),
+                           c=Vec3(gtri[..., 6], gtri[..., 7], gtri[..., 8]))
         else:
             tri = jax.tree_util.tree_map(lambda x: x[t_tris],
                                          world.terrain)
-        gt = gather_shapes(cfg, ps, t_rows)
+        gt = ga if fused else gather_shapes(cfg, ps, t_rows)
         tc = _terrain_contact(cfg, gt, tri)
         if t_valid is not None:
-            tc = tc._replace(valid=tc.valid & t_valid[None, :])
+            tc = tc._replace(valid=tc.valid & t_valid[None])
         t_lc = LocalContact(
             local_a=tc.a - (gt.x + gt.delta * tc.t),
             local_b=tc.b - world.terrain_center,
@@ -749,22 +853,44 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             return world, {"probe": jnp.sum(man_rows.valid)
                            + jnp.sum(partner_rows)}
 
-        # mass splitting: every contact of body i is in row i, so the
-        # per-body count is a row reduction; partner counts are one gather.
-        counts = jnp.concatenate(
-            [jnp.sum(man_rows.valid, axis=0).astype(jnp.float32),
-             jnp.ones((1,), jnp.float32)])
-        counts = jnp.maximum(counts, 1.0)
-
         # spheres: the world inverse inertia is isotropic (diag scalar) —
         # one 16-wide partner gather + scalar-inertia math replaces three
         # 8-wide gathers + Mat3 chains in the precompute and the sweeps
         iso_mode = cfg.shape_mode == "spheres"
-        if iso_mode:
+        if fused:
+            # constraint precompute with ZERO gathers: pair-row partner
+            # fields were fetched with the narrowphase gather; terrain rows
+            # have the known static body as partner; mass-splitting counts
+            # are last frame's (cnt_prev — carried in pf/self)
+            n_pair_rows = S_pair * K
+            bv = BodyView(x=state.x + state.delta, v=state.v,
+                          omega=state.omega,
+                          restitution=state.restitution,
+                          friction=state.friction,
+                          inv_mass=state.inv_mass,
+                          inv_moment=state.inv_moment)
+            from mgf_tpu.solver import build_row_constraints_iso_fused
+            rc = build_row_constraints_iso_fused(
+                bv, cnt_prev, pf, partner_rows, man_rows, cfg.dt,
+                world.terrain_center, n_pair_rows)
+            solver_inertia = state.inv_moment.xx
+            pt0 = None
+        elif iso_mode:
+            # mass splitting: every contact of body i is in row i, so the
+            # per-body count is a row reduction; partner counts ride the
+            # constraint gather.
+            counts = jnp.concatenate(
+                [jnp.sum(man_rows.valid, axis=0).astype(jnp.float32),
+                 jnp.ones((1,), jnp.float32)])
+            counts = jnp.maximum(counts, 1.0)
             rc, pt0 = build_row_constraints_iso(
                 bodies_ext, partner_rows, man_rows, cfg.dt, counts=counts)
             solver_inertia = bodies_ext.inv_moment.xx
         else:
+            counts = jnp.concatenate(
+                [jnp.sum(man_rows.valid, axis=0).astype(jnp.float32),
+                 jnp.ones((1,), jnp.float32)])
+            counts = jnp.maximum(counts, 1.0)
             rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
                                        cfg.dt, counts=counts)
             solver_inertia = bodies_ext.inv_moment
@@ -774,19 +900,48 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                            + jnp.sum(rc.normal_mass)}
         warm = None
         if cfg.warm_start and world.warm is not None:
-            # match this frame's rows to last frame's by (partner, key2);
-            # the three accumulators ride in one packed array so the
-            # matched fetch is a single wide gather
-            eq = ((partner_rows[:, None, :] == world.warm.partner[None])
-                  & (key2_rows[:, None, :] == world.warm.key2[None]))
-            found = jnp.any(eq, axis=1)
-            pick = jnp.argmax(eq, axis=1)                # (R, N)
-            acc3 = jnp.stack([world.warm.acc_n, world.warm.acc_t1,
-                              world.warm.acc_t2, world.warm.acc_n * 0.0],
-                             axis=-1)                    # (Rp, N, 4)
-            g3 = jnp.take_along_axis(acc3, pick[:, :, None], axis=0)
-            warm = (g3[..., 0] * found, g3[..., 1] * found,
-                    g3[..., 2] * found)
+            if cfg.warm_match == "pos":
+                # positional match: a row warms iff the SAME slot carried
+                # the same (partner, key2) last frame — zero gathers.
+                # stable_pairs makes slots deterministic while the partner
+                # set is unchanged; on a set change the affected body's
+                # shifted rows simply restart cold for one frame.  Also
+                # immune to the duplicate-key double-apply (ADVICE r2).
+                hit = ((partner_rows == world.warm.partner)
+                       & (key2_rows == world.warm.key2)).astype(jnp.float32)
+                warm = (world.warm.acc_n * hit, world.warm.acc_t1 * hit,
+                        world.warm.acc_t2 * hit)
+            else:
+                # full search: match rows by (partner, key2) key across all
+                # previous slots; the three accumulators ride in one packed
+                # array so the matched fetch is a single wide gather.
+                # NOTE (ADVICE r2): the (R, R_prev, N) boolean intermediate
+                # scales quadratically in row count — fine for compacted
+                # configs, a memory hazard for uncompacted dense-terrain
+                # ones (prefer "pos" there).
+                eq = ((partner_rows[:, None, :] == world.warm.partner[None])
+                      & (key2_rows[:, None, :] == world.warm.key2[None]))
+                # first-match one-hot contraction: replaces the (R, N)-index
+                # matched-accumulator gather (per-index TPU gather cost ~=
+                # the whole solver sweep) with a static sum over the R_prev
+                # slots — pure VPU flops.  "first" keeps exact
+                # first-match-wins semantics when duplicate keys exist
+                # (possible without stable_pairs — ADVICE r2).
+                first = eq & (jnp.cumsum(eq.astype(jnp.int8), axis=1) == 1)
+                zn = jnp.zeros(partner_rows.shape, jnp.float32)
+                wn, wt1, wt2 = zn, zn, zn
+                for k in range(world.warm.partner.shape[0]):
+                    mk = first[:, k, :].astype(jnp.float32)
+                    wn = wn + mk * world.warm.acc_n[k][None]
+                    wt1 = wt1 + mk * world.warm.acc_t1[k][None]
+                    wt2 = wt2 + mk * world.warm.acc_t2[k][None]
+                warm = (wn, wt1, wt2)
+        # the fused path passes only the N live rows (terrain rows never
+        # read the static row at all — n_gather_rows cuts them from the
+        # per-sweep state gather)
+        sv_in = ((state.v, state.omega, state.inv_mass) if fused
+                 else (bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass))
+        ngr = n_pair_rows if fused else None
         if cfg.warm_start:
             # NOTE: pt0 is NOT passed here — the warm pre-apply moves
             # partner velocities by full accumulated impulses, so a
@@ -794,20 +949,20 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             # max penetration 0.09 -> 0.34).  The reuse only pays on
             # cold solves.
             v, omega, acc = solve_rows(
-                rc, bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass,
+                rc, sv_in[0], sv_in[1], sv_in[2],
                 solver_inertia, cfg.solver_iters, cfg.friction_mode,
                 cfg.two_phase, cfg.solver_inner, warm=warm,
-                return_acc=True)
+                return_acc=True, n_gather_rows=ngr)
             new_warm = SolverWarm(partner=jnp.where(rc.valid, partner_rows,
                                                     -9),
                                   key2=key2_rows, acc_n=acc[0],
                                   acc_t1=acc[1], acc_t2=acc[2])
         else:
-            v, omega = solve_rows(rc, bodies_ext.v, bodies_ext.omega,
-                                  bodies_ext.inv_mass, solver_inertia,
+            v, omega = solve_rows(rc, sv_in[0], sv_in[1], sv_in[2],
+                                  solver_inertia,
                                   cfg.solver_iters, cfg.friction_mode,
                                   cfg.two_phase, cfg.solver_inner,
-                                  partner_term0=pt0)
+                                  partner_term0=pt0, n_gather_rows=ngr)
             new_warm = world.warm
         num_contacts = jnp.sum(rc.valid)
         num_constraints = rc.valid.size
@@ -850,9 +1005,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # the collider sweep in integrate (physics.rs:243-251) and the solver
     # only mutates velocities; next frame's complete_motion commits the
     # pre-solve displacement and Baumgarte recovers any penetration.
-    state = state._replace(v=trim(v), omega=trim(omega))
+    vt, ot = trim(v), trim(omega)
+    dv = vt - state.v            # statics never move: the trim drops only 0s
+    state = state._replace(v=vt, omega=ot)
 
-    dv = v - bodies_ext.v
     metrics = {
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
@@ -869,10 +1025,15 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                            + dv.z * dv.z)),
     }
     if collect_contacts:
-        metrics["pair_contacts"] = dict(i=rows, j=cols, contact=pc)
+        flat = lambda c: jax.tree_util.tree_map(
+            lambda x: x.reshape(x.shape[0], -1), c)
+        metrics["pair_contacts"] = dict(i=rows, j=cols,
+                                        contact=flat(pc) if fused else pc)
         if n_tris > 0:
-            metrics["terrain_contacts"] = dict(i=t_rows, tri=t_tris,
-                                               contact=tc)
+            metrics["terrain_contacts"] = dict(
+                i=t_rows,
+                tri=t_tris.reshape(-1) if fused else t_tris,
+                contact=flat(tc) if fused else tc)
     return world._replace(bodies=state, warm=new_warm, bp=new_bp), metrics
 
 

@@ -101,6 +101,30 @@ def main():
                 solver_rows=0, max_pairs=9, terrain_cand=3)),
             ("rows8 baseline", base_cfg),
         ],
+        "h": [
+            ("3x5", base_cfg._replace(solver_iters=3, solver_inner=5)),
+            ("3x5 K8", base_cfg._replace(
+                solver_iters=3, solver_inner=5, max_pairs=8)),
+            ("3x6 K8", base_cfg._replace(
+                solver_iters=3, solver_inner=6, max_pairs=8)),
+            ("2x6", base_cfg._replace(solver_iters=2, solver_inner=6)),
+            ("3x4", base_cfg._replace(solver_iters=3, solver_inner=4)),
+            ("3x5 cand2", base_cfg._replace(
+                solver_iters=3, solver_inner=5, terrain_cand=2)),
+        ],
+        # r3 (fused_iso base): bucket cap / solver schedule / K
+        "g": [
+            ("base cap24 4x4 K9", base_cfg),
+            ("cap16", base_cfg._replace(
+                grid=g(base_cfg.grid.cell_size, dim, 16))),
+            ("cap12", base_cfg._replace(
+                grid=g(base_cfg.grid.cell_size, dim, 12))),
+            ("3x5", base_cfg._replace(solver_iters=3, solver_inner=5)),
+            ("3x6", base_cfg._replace(solver_iters=3, solver_inner=6)),
+            ("2x8", base_cfg._replace(solver_iters=2, solver_inner=8)),
+            ("K8 cap16", base_cfg._replace(
+                max_pairs=8, grid=g(base_cfg.grid.cell_size, dim, 16))),
+        ],
     }
     for name, cfg in CANDS[args.set]:
         wc = w if cfg.warm_start else w._replace(warm=None)
