@@ -136,6 +136,55 @@ def bench_compound_batch(parts=8192, iters=10):
     return parts / sec
 
 
+def bench_raytrace(world, rays=2048, iters=4):
+    """Grid DDA body raytrace (BVH::raytrace, bvh.rs:345-369) vs the dense
+    O(N) scan, downward rays into the settled stress pile.  The grid's
+    cost is ~independent of N (only cells the ray crosses are tested), the
+    dense scan scales with N — crossover is ~30k bodies on v5e, so this
+    runs on the 100k headline world.  The grid/state is passed as a jit
+    ARGUMENT (closing over it bakes the table into the HLO as a constant:
+    measured 453 s compile)."""
+    import jax.numpy as jnp
+    from mgf_tpu.math3d import Vec3
+    from mgf_tpu.queries import (
+        build_body_grid, raytrace_bodies, raytrace_bodies_grid)
+
+    state = world.bodies
+    rng = np.random.default_rng(3)
+    side = float(np.asarray(state.x.x).max())
+    top = float(np.asarray(state.x.y).max())
+
+    def mk(eps):
+        p = Vec3(*(jnp.asarray(rng.uniform(-side, side, rays) + eps,
+                               jnp.float32) for _ in range(3)))
+        p = p._replace(y=jnp.zeros((rays,), jnp.float32) + (top + 2.0))
+        d = Vec3(jnp.asarray(rng.uniform(-0.3, 0.3, rays), jnp.float32),
+                 jnp.full((rays,), -1.0, jnp.float32),
+                 jnp.asarray(rng.uniform(-0.3, 0.3, rays), jnp.float32))
+        return p, d
+
+    # cell ~2.5 body diameters keeps bucket load ~2-4 even at the pile's
+    # 0.53 bodies/unit^3; the dim-64 modulus aliases distant cells into one
+    # bucket, which is correctness-preserving for the DDA (candidates are
+    # re-tested exactly; the nearest-hit stop condition only consults true
+    # intersection t), it just adds candidates — cap 16 absorbs it.
+    grid = jax.jit(lambda s: build_body_grid(
+        s, cell_size=1.25, dim=64, cap=16))(state)
+    fg = jax.jit(jax.vmap(raytrace_bodies_grid, in_axes=(None, 0, 0)))
+    fd = jax.jit(jax.vmap(raytrace_bodies, in_axes=(None, 0, 0)))
+    argsets = [mk(1e-4 * i) for i in range(iters)]
+    sec_g = _time_op(lambda p, d: fg(grid, p, d), argsets)
+    sec_d = _time_op(lambda p, d: fd(state, p, d), argsets)
+    ig, bg = fg(grid, *argsets[0])
+    id_, bd = fd(state, *argsets[0])
+    hg, hd = np.asarray(ig.hit), np.asarray(id_.hit)
+    tdiff = np.where(hg & hd,
+                     np.asarray(ig.t) - np.where(hd, np.asarray(id_.t), 0.0),
+                     0.0)
+    mism = int(np.sum((hg != hd) | (np.abs(tdiff) > 1e-3)))
+    return rays / sec_g, rays / sec_d, int(grid.overflow), mism
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -199,6 +248,34 @@ def main():
     # (8, P) input assembly no longer rides free) — bench runs the jnp
     # path; the kernel stays available and parity-tested.
     n = 10_000 if args.quick else args.bodies
+    if not args.quick:
+        try:
+            # warm-start honesty row (the warm extension diverges from the
+            # reference's cold GS schedule): same scene, warm_start and the
+            # fused-iso fast path (which requires it) OFF
+            w, cfg = stress_scene(n)
+            cfg = cfg._replace(warm_start=False, fused_iso=False,
+                               warm_match="search")
+            sps, comp, _, m = time_steps(
+                w._replace(warm=None), cfg, warmup=180, iters=60)
+            secondary["stress_cold_steps_per_sec"] = round(sps, 2)
+            secondary["stress_cold_max_penetration"] = round(
+                float(m["max_penetration"]), 3)
+        except Exception as e:  # pragma: no cover
+            secondary["stress_cold_error"] = repr(e)[:200]
+        if not args.mixed:
+            try:
+                # BASELINE config 5 is "100k MIXED sphere/capsule": record
+                # the mixed form in the artifact alongside the sphere
+                # headline (mixed quality is tracked, not just speed)
+                w, cfg = stress_scene(n, mixed=True)
+                sps, comp, _, m = time_steps(w, cfg, warmup=180, iters=60)
+                secondary["stress_mixed_steps_per_sec"] = round(sps, 2)
+                secondary["stress_mixed_max_penetration"] = round(
+                    float(m["max_penetration"]), 3)
+                secondary["stress_mixed_compile_s"] = round(comp, 1)
+            except Exception as e:  # pragma: no cover
+                secondary["stress_mixed_error"] = repr(e)[:200]
     w, cfg = stress_scene(n, mixed=args.mixed)
     sps, comp, world, m = time_steps(w, cfg, warmup=180, iters=60)
     secondary["stress_compile_s"] = round(comp, 1)
@@ -209,6 +286,18 @@ def main():
     # narrowphase contact tests/sec = candidate pairs tested per second
     secondary["narrowphase_pair_tests_per_sec"] = round(
         float(m["num_constraints"]) * sps, 0)
+
+    if not args.quick:
+        try:
+            # ray casts against the SETTLED headline world (the regime where
+            # the grid DDA beats the dense scan; crossover ~30k bodies)
+            sps_g, sps_d, ovf, mism = bench_raytrace(world)
+            secondary["raytrace_grid_rays_per_sec"] = round(sps_g, 0)
+            secondary["raytrace_dense_rays_per_sec"] = round(sps_d, 0)
+            secondary["raytrace_grid_overflow"] = ovf
+            secondary["raytrace_grid_mismatch"] = mism
+        except Exception as e:  # pragma: no cover
+            secondary["raytrace_error"] = repr(e)[:200]
 
     print(json.dumps(secondary), file=sys.stderr)
     print(json.dumps({

@@ -107,27 +107,64 @@ class MeshGrid(NamedTuple):
 
 def build_mesh_grid(m: Mesh, cell_size: float, dim: int = 64,
                     cap: int = 8) -> MeshGrid:
-    """Bin faces by centroid into a modular grid (host- or device-side).
-    Faces larger than a cell should use a finer tessellation or the dense
-    path; centroid binning plus a +-1-cell query window covers faces up to
-    ~one cell in radius."""
+    """Bin each face into EVERY cell its AABB overlaps (host- or
+    device-side).  The documented sizing contract is cell_size >= the
+    largest face RADIUS, i.e. face extent up to 2*cell_size, which spans
+    at most 3 cells per axis — so 27 insertion slots per face (masked to
+    the actual AABB span; small faces insert once).  The DDA raytrace and
+    the +-1-cell query window can then test exactly the visited cell —
+    any face crossing cell c overlaps c and is present in c's bucket.
+    (Centroid-only binning missed boundary-straddling faces entirely when
+    the mesh was not grid-aligned.)  Larger faces need a finer
+    tessellation or the dense path."""
     tris = mesh_triangles(m)
-    c = (tris.a + tris.b + tris.c) * (1.0 / 3.0)
     n = m.n_faces
     cc = lambda comp: jnp.floor(comp / cell_size).astype(jnp.int32)
+    # shrink the face AABB by a hair before binning: a face that merely
+    # TOUCHES a boundary plane (grid-aligned meshes touch on every face)
+    # need not occupy the neighbor cell — an intersection exactly on the
+    # plane is found in whichever adjacent cell the DDA tests, since the
+    # hit t equals that cell's entry/exit t.  Keeps buckets ~8x lighter
+    # for aligned meshes at a sub-roundoff exactness cost.
+    eps = 1e-5 * cell_size
+    lo_ = lambda u, v, w: cc(jnp.minimum(jnp.minimum(u, v), w) + eps)
+    hi_ = lambda u, v, w: cc(jnp.maximum(jnp.maximum(u, v), w) - eps)
+    lo = [lo_(tris.a.x, tris.b.x, tris.c.x),
+          lo_(tris.a.y, tris.b.y, tris.c.y),
+          lo_(tris.a.z, tris.b.z, tris.c.z)]
+    hi = [jnp.maximum(hi_(tris.a.x, tris.b.x, tris.c.x), lo[0]),
+          jnp.maximum(hi_(tris.a.y, tris.b.y, tris.c.y), lo[1]),
+          jnp.maximum(hi_(tris.a.z, tris.b.z, tris.c.z), lo[2])]
     mmask = dim - 1
-    h = (((cc(c.x) & mmask) * dim + (cc(c.y) & mmask)) * dim
-         + (cc(c.z) & mmask))
+    hs, oks = [], []
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                cx = lo[0] + dx
+                cy = lo[1] + dy
+                cz = lo[2] + dz
+                # skip offsets past the face's AABB (no duplicate inserts
+                # for faces that span fewer cells along an axis)
+                oks.append((cx <= hi[0]) & (cy <= hi[1]) & (cz <= hi[2]))
+                hs.append((((cx & mmask) * dim + (cy & mmask)) * dim
+                           + (cz & mmask)))
+    h = jnp.concatenate(hs)                        # (27N,)
+    ins_ok = jnp.concatenate(oks)
+    face = jnp.tile(jnp.arange(n, dtype=jnp.int32), 27)
     from mgf_tpu.broadphase import _bucket_ranks
-    order = jnp.argsort(h)
-    sorted_h = h[order]
-    rank = _bucket_ranks(sorted_h, n)
-    ok = rank < cap
+    sentinel = jnp.int32(dim ** 3)                 # invalid slots sort last
+    hk = jnp.where(ins_ok, h, sentinel)
+    order = jnp.argsort(hk)
+    sorted_h = hk[order]
+    rank = _bucket_ranks(sorted_h, 27 * n)
+    ok = (rank < cap) & (sorted_h < sentinel)
     table = jnp.full((dim ** 3, cap), -1, jnp.int32)
+    # sentinel rows are out of bounds -> dropped by mode='drop'
     table = table.at[sorted_h, jnp.minimum(rank, cap - 1)].set(
-        jnp.where(ok, order.astype(jnp.int32), -1), mode='drop')
+        jnp.where(ok, face[order], -1), mode='drop')
     return MeshGrid(table=table, cell_size=cell_size, dim=dim,
-                    overflow=jnp.sum(~ok).astype(jnp.int32))
+                    overflow=jnp.sum((rank >= cap) & (sorted_h < sentinel))
+                    .astype(jnp.int32))
 
 
 def mesh_grid_query(grid: MeshGrid, centers: Vec3):

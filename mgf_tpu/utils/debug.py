@@ -90,6 +90,10 @@ def check_step_metrics(metrics, max_penetration: float = 1.0):
         errs.append(f"pair reach exceeds the candidate window guarantee by "
                     f"{g('broadphase_reach_excess'):.3f} (fast movers may "
                     "miss pairs; grow cell_size or lower fatten)")
+    if g("terrain_reach_excess") > 0.0:
+        errs.append(f"body reach exceeds the terrain grid window guarantee "
+                    f"by {g('terrain_reach_excess'):.3f} (terrain contacts "
+                    "may be missed; grow terrain_grid_cfg.cell_size)")
     if g("max_penetration") > max_penetration:
         errs.append(f"max penetration {g('max_penetration'):.3f} > "
                     f"{max_penetration} (solver not converging; add sweeps "

@@ -217,9 +217,13 @@ def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
     """Assemble a world; terrain given as (V, 3) vertices + (T, 3) faces.
 
     ``terrain_grid_cfg`` builds a static face cell table for the "grid"
-    terrain broadphase (large meshes); faces are binned by centroid, so the
-    cell size must be >= the largest face radius for the +-1-cell query
-    window to cover it.
+    terrain broadphase (large meshes); each face is binned into every cell
+    its AABB overlaps (for faces up to one cell in extent), so the +-1-cell
+    query window only has to cover the BODY's reach (shape radius + half
+    height + sweep) — keep cell_size >= both the largest face radius and
+    the largest body reach.  The step emits ``terrain_reach_excess``
+    (max body reach minus cell_size, clamped at 0) so a violation is
+    observable, mirroring ``broadphase_reach_excess``.
     """
     grid_table = None
     if terrain_verts is None:
@@ -613,6 +617,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     manifolds = [pair_manifold]
     idx_a = [rows]
     idx_b = [cols]
+    t_reach_excess = jnp.float32(0.0)
     if n_tris > 0:
         if cfg.terrain_bp == "near":
             # dense AABB-distance cull: the body-to-face-AABB distance
@@ -657,18 +662,41 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                              + ((cz + dz) & mmask))
                         tcols.append(world.terrain_grid[h])
             cand = jnp.concatenate(tcols, axis=-1)       # (N, 27*cap)
+            # dedupe BEFORE the top-k: AABB binning puts one face in every
+            # cell it overlaps, so the window sees the same face id in
+            # several slots; without this, duplicates of the closest faces
+            # eat the terrain_cand selection and farther (still-touching)
+            # faces get dropped.  Sorting by id makes duplicates adjacent;
+            # d2 depends only on (body, face) so keeping the first is safe.
+            tb = jnp.int32(1 << 28)
+            cand = jnp.sort(jnp.where(cand >= 0, cand, tb), axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((cand.shape[0], 1), bool),
+                 cand[:, 1:] == cand[:, :-1]], axis=1)
+            cvalid = (cand < tb) & ~dup
             tcent = (world.terrain.a + world.terrain.b
                      + world.terrain.c) * (1.0 / 3.0)
-            safe = jnp.maximum(cand, 0)
+            safe = jnp.where(cvalid, cand, 0)
             dxc = tcent.x[safe] - centers.x[:, None]
             dyc = tcent.y[safe] - centers.y[:, None]
             dzc = tcent.z[safe] - centers.z[:, None]
             d2 = dxc * dxc + dyc * dyc + dzc * dzc
-            score = jnp.where(cand >= 0, -d2, -jnp.inf)
+            score = jnp.where(cvalid, -d2, -jnp.inf)
             top, pick = jax.lax.top_k(score, cfg.terrain_cand)
-            t_cand = jnp.take_along_axis(cand, pick, axis=1)
+            t_cand = jnp.take_along_axis(
+                jnp.where(cvalid, cand, -1), pick, axis=1)
             t_ok = jnp.isfinite(top)
             t_width = cfg.terrain_cand
+            # window-coverage observability (ADVICE r2): the +-1-cell
+            # query window guarantees candidates only while each body's
+            # reach (radius + half height + sweep) <= cell_size — faces
+            # themselves are covered at build time by AABB binning.  A
+            # violation silently loses terrain contacts, so surface it
+            # like broadphase_reach_excess.
+            t_reach = (state.shape_r + state.shape_half_h
+                       + jnp.sqrt(magnitude2(state.delta)))
+            t_reach_excess = jnp.maximum(
+                jnp.max(t_reach) - tg.cell_size, 0.0)
         else:
             t_width = n_tris
             t_rows = jnp.broadcast_to(
@@ -1013,6 +1041,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
         "broadphase_span_excess": span_excess,
+        "terrain_reach_excess": t_reach_excess,
         "broadphase_rebuilt": bp_rebuilt,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,

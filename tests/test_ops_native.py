@@ -157,3 +157,93 @@ def test_raytrace_mesh_grid_matches_dense():
         assert bool(i1.hit) == bool(i2.hit)
         if bool(i1.hit):
             assert abs(float(i1.t) - float(i2.t)) < 1e-4
+
+
+def test_raytrace_mesh_grid_dealigned():
+    """Regression (ADVICE r2): a mesh whose vertices are NOT multiples of
+    the grid cell size has faces straddling cell boundaries; the old
+    centroid-only binning made those invisible to rays entering from the
+    neighboring cell.  AABB binning must keep the DDA exact."""
+    from mgf_tpu.math3d import Vec3
+    from mgf_tpu.mesh import build_mesh_grid, mesh_from_arrays
+    from mgf_tpu.queries import raytrace_mesh, raytrace_mesh_grid
+    from mgf_tpu.scenes import terrain_scene
+
+    w, _ = terrain_scene(n_bodies=10, grid_n=24)
+    verts = np.concatenate(
+        [np.stack([np.asarray(getattr(w.terrain, s).x),
+                   np.asarray(getattr(w.terrain, s).y),
+                   np.asarray(getattr(w.terrain, s).z)], -1)
+         for s in "abc"])
+    verts = verts + np.asarray([[2.0, 1.3, 2.0]], np.float32)  # de-align
+    faces = np.arange(verts.shape[0]).reshape(3, -1).T
+    m = mesh_from_arrays(verts, faces)
+    grid = build_mesh_grid(m, cell_size=4.0, dim=16, cap=24)
+    assert int(grid.overflow) == 0
+
+    rng = np.random.default_rng(7)
+    v3 = lambda a: Vec3(*(jnp.float32(x) for x in a))
+    fd = jax.jit(lambda p, d: raytrace_mesh(m, p, d))
+    fg = jax.jit(lambda p, d: raytrace_mesh_grid(m, grid, p, d))
+    hits = 0
+    for i in range(16):
+        # vertical boundary probes: x/z at exact cell-boundary multiples
+        # plus jitter, the case that missed with centroid binning
+        p = v3([rng.integers(-4, 5) * 4.0 + rng.uniform(-0.05, 0.05),
+                25.0,
+                rng.integers(-4, 5) * 4.0 + rng.uniform(-0.05, 0.05)])
+        dv = np.asarray([rng.uniform(-0.3, 0.3), -1.0,
+                         rng.uniform(-0.3, 0.3)])
+        dv /= np.linalg.norm(dv)
+        i1, f1 = fd(p, v3(dv.tolist()))
+        i2, f2 = fg(p, v3(dv.tolist()))
+        assert bool(i1.hit) == bool(i2.hit)
+        if bool(i1.hit):
+            hits += 1
+            assert abs(float(i1.t) - float(i2.t)) < 1e-4
+    assert hits >= 8  # the probe set must actually exercise hits
+
+
+def test_raytrace_bodies_grid_matches_dense():
+    """Grid-accelerated body raytrace (BVH::raytrace, bvh.rs:345-369) vs
+    the dense O(N) scan, mixed sphere/capsule cloud, random rays."""
+    from mgf_tpu.math3d import Vec3
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.queries import (
+        build_body_grid, raytrace_bodies, raytrace_bodies_grid)
+
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    for i in range(120):
+        c = rng.uniform(-18, 18, 3)
+        if i % 3 == 0:
+            d = rng.standard_normal(3)
+            d = d / np.linalg.norm(d) * 0.8
+            b.add_capsule(tuple(c - d), tuple(2 * d), 0.35, 1.0, 0.0, 0.5,
+                          gravity=(0, 0, 0))
+        else:
+            b.add_sphere(tuple(c), 0.6, 1.0, 0.0, 0.5, gravity=(0, 0, 0))
+    state = b.build()
+
+    grid = build_body_grid(state, cell_size=2.5, dim=32, cap=16)
+    assert int(grid.overflow) == 0
+    v3 = lambda a: Vec3(*(jnp.float32(x) for x in a))
+    fd = jax.jit(lambda p, d: raytrace_bodies(state, p, d))
+    fg = jax.jit(lambda p, d: raytrace_bodies_grid(grid, p, d))
+    xs = np.stack([np.asarray(state.x.x), np.asarray(state.x.y),
+                   np.asarray(state.x.z)], -1)
+    hits = 0
+    for i in range(20):
+        p = rng.uniform(-25, 25, 3)
+        # aim at a random body (slightly off-center) so most rays hit
+        tgt = xs[rng.integers(0, len(xs))] + rng.uniform(-0.3, 0.3, 3)
+        dv = tgt - p
+        dv /= np.linalg.norm(dv)
+        i1, b1 = fd(v3(p.tolist()), v3(dv.tolist()))
+        i2, b2 = fg(v3(p.tolist()), v3(dv.tolist()))
+        assert bool(i1.hit) == bool(i2.hit), f"ray {i}"
+        if bool(i1.hit):
+            hits += 1
+            assert abs(float(i1.t) - float(i2.t)) < 1e-4
+            assert int(b1) == int(b2)
+    assert hits >= 10
