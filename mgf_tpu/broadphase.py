@@ -68,19 +68,30 @@ def _bucket_ranks(sorted_h, n):
     return ar - run_start
 
 
-def build_grid(centers: Vec3, cfg: GridConfig) -> GridTable:
-    """Bin bodies into the modular grid (replaces BVH::insert batch)."""
+def build_grid(centers: Vec3, cfg: GridConfig, valid=None) -> GridTable:
+    """Bin bodies into the modular grid (replaces BVH::insert batch).
+
+    ``valid`` (N,) bool: rows marked False are NOT inserted (and not
+    counted as overflow).  Parked pad/halo rows alias into in-scene cells
+    through the grid modulus and can evict real bodies from full buckets
+    (ADVICE r2) — callers with inert rows must mask them out here rather
+    than relying on far-away positions."""
     n = centers.x.shape[0]
     cx, cy, cz = _cell_coords(centers, cfg)
     h = _bucket_index(cx, cy, cz, cfg)
+    if valid is not None:
+        # invalid rows hash past the table and get dropped by the scatter
+        h = jnp.where(valid, h, cfg.dim ** 3)
     order = jnp.argsort(h)
     sorted_h = h[order]
     rank = _bucket_ranks(sorted_h, n)
-    ok = rank < cfg.bucket_cap
+    ok = (rank < cfg.bucket_cap) & (sorted_h < cfg.dim ** 3)
+    of = (rank >= cfg.bucket_cap) & (sorted_h < cfg.dim ** 3)
     table = jnp.full((cfg.dim ** 3, cfg.bucket_cap), -1, jnp.int32)
-    table = table.at[sorted_h, jnp.minimum(rank, cfg.bucket_cap - 1)].set(
+    table = table.at[jnp.where(ok, sorted_h, cfg.dim ** 3),
+                     jnp.minimum(rank, cfg.bucket_cap - 1)].set(
         jnp.where(ok, order.astype(jnp.int32), -1), mode='drop')
-    return GridTable(table=table, overflow=jnp.sum(~ok).astype(jnp.int32))
+    return GridTable(table=table, overflow=jnp.sum(of).astype(jnp.int32))
 
 
 _OFFSETS = [(dx, dy, dz)
@@ -104,17 +115,26 @@ class FatGrid(NamedTuple):
     r_max: jnp.ndarray = None
 
 
-def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8) -> FatGrid:
-    """Bin bodies with their conservative bound radius into the grid."""
+def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8,
+                   valid=None) -> FatGrid:
+    """Bin bodies with their conservative bound radius into the grid.
+
+    ``valid`` (N,) bool masks rows out of the table entirely (see
+    :func:`build_grid` — parked pad/halo rows must not occupy buckets)."""
     centers = bounds.c
     n = centers.x.shape[0]
     r_eff = jnp.maximum(bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z))
     cx, cy, cz = _cell_coords(centers, cfg)
     h = _bucket_index(cx, cy, cz, cfg)
+    if valid is not None:
+        h = jnp.where(valid, h, cfg.dim ** 3)
+        r_eff = jnp.where(valid, r_eff, 0.0)
     order = jnp.argsort(h)
     sorted_h = h[order]
     rank = _bucket_ranks(sorted_h, n)
-    ok = rank < cfg.bucket_cap
+    in_table = sorted_h < cfg.dim ** 3
+    ok = (rank < cfg.bucket_cap) & in_table
+    n_over = jnp.sum((rank >= cfg.bucket_cap) & in_table).astype(jnp.int32)
     if width == 4:
         # COMPONENT-BLOCKED bucket rows [x*cap | y*cap | z*cap | idx*cap]:
         # the reader's per-component slices are lane-contiguous (cap-wide)
@@ -135,8 +155,7 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8) -> FatGrid:
             table = table.at[jnp.where(ok, base + k * cap, oob)].set(
                 vals, mode='drop')
         table = table.reshape(ncell, 4 * cap)
-        return FatGrid(table=table,
-                       overflow=jnp.sum(~ok).astype(jnp.int32),
+        return FatGrid(table=table, overflow=n_over,
                        width=width, r_max=jnp.max(r_eff))
     rows = jnp.stack([centers.x[order], centers.y[order],
                       centers.z[order],
@@ -151,7 +170,7 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8) -> FatGrid:
     table = table.at[jnp.where(ok, slot, cfg.dim ** 3 * cfg.bucket_cap)]\
         .set(rows, mode='drop')
     table = table.reshape(cfg.dim ** 3, cfg.bucket_cap * width)
-    return FatGrid(table=table, overflow=jnp.sum(~ok).astype(jnp.int32),
+    return FatGrid(table=table, overflow=n_over,
                    width=width, r_max=jnp.max(r_eff))
 
 

@@ -411,13 +411,20 @@ def contact_sphere_moving_capsule(s: Sphere, cap: Capsule, v: Vec3) -> Contact:
 
 
 def contact_capsule_moving_capsule(c1: Capsule, c2: Capsule,
-                                   v: Vec3) -> Contact:
+                                   v: Vec3, ends: bool = False) -> Contact:
     """Capsule vs swept capsule (collision.rs:1205-1355).
 
     Non-parallel axes reduce to a representative sphere on c1's axis;
     parallel axes use interval overlap along the shared direction, colliding
     at the ends (sphere reductions) or flank-to-flank at the interval
     midpoint.
+
+    ``ends=True`` is a documented EXTENSION over the reference: the
+    parallel flank case emits the overlap interval's two ENDPOINT contacts
+    (leading slot axis 2) instead of the single midpoint
+    (collision.rs:1331-1354) — a one-point manifold lets parallel capsule
+    stacks rock freely; the endpoint pair resists the torque.  All other
+    cases return [contact, invalid].
     """
     seg1 = segment_of_capsule(c1)
 
@@ -466,24 +473,45 @@ def contact_capsule_moving_capsule(c1: Capsule, c2: Capsule,
                                                          r=c2.r), v)
     c_end_near = contact_capsule_moving_sphere(c1, Sphere(c=c_a, r=c2.r), v)
 
-    s_t = (jnp.clip(t_min, 0.0, 1.0) + jnp.clip(t_max, 0.0, 1.0)) * 0.5
-    o_t = safe_div(s_t - t_min, t_max - t_min)
-    a_c = c1.a + c1.d * s_t
-    b_c = c_a + c_d * o_t + b_shift
-    ab = b_c - a_c
-    ab_zero = magnitude2(ab) == 0.0
     v_ok = magnitude2(v) != 0.0
-    n_mid = where_vec(ab_zero, -safe_normalize(v), safe_normalize(ab))
-    c_mid = Contact(a=a_c + n_mid * c1.r, b=b_c - n_mid * c2.r, n=n_mid,
-                    t=t_contact, valid=jnp.where(ab_zero, v_ok, True))
 
-    c_par = contact_select(t_max <= 0.0, c_end_far,
-                           contact_select(t_min >= 1.0, c_end_near, c_mid))
+    def interval_contact(s_t):
+        """Flank contact at axis-1 parameter s_t of the overlap interval."""
+        o_t = safe_div(s_t - t_min, t_max - t_min)
+        a_c = c1.a + c1.d * s_t
+        b_c = c_a + c_d * o_t + b_shift
+        ab = b_c - a_c
+        ab_zero = magnitude2(ab) == 0.0
+        n_ = where_vec(ab_zero, -safe_normalize(v), safe_normalize(ab))
+        return Contact(a=a_c + n_ * c1.r, b=b_c - n_ * c2.r, n=n_,
+                       t=t_contact, valid=jnp.where(ab_zero, v_ok, True))
+
+    s_lo = jnp.clip(t_min, 0.0, 1.0)
+    s_hi = jnp.clip(t_max, 0.0, 1.0)
+    c_mid = interval_contact((s_lo + s_hi) * 0.5)
+
     par_miss = (~touching) & (~approaching)
-    c_par = c_par._replace(valid=c_par.valid & ~par_miss)
+    mid_case = (~(t_max <= 0.0)) & (~(t_min >= 1.0))
 
-    out = contact_select(axes_par, c_par, c_nonpar)
-    return out._replace(valid=out.valid & ~second_par_miss)
+    def par_slot(c_flank):
+        c_par = contact_select(
+            t_max <= 0.0, c_end_far,
+            contact_select(t_min >= 1.0, c_end_near, c_flank))
+        return c_par._replace(valid=c_par.valid & ~par_miss)
+
+    if not ends:
+        out = contact_select(axes_par, par_slot(c_mid), c_nonpar)
+        return out._replace(valid=out.valid & ~second_par_miss)
+
+    slot0 = contact_select(axes_par, par_slot(interval_contact(s_lo)),
+                           c_nonpar)
+    slot0 = slot0._replace(valid=slot0.valid & ~second_par_miss)
+    c_hi = interval_contact(s_hi)
+    # second endpoint only for a genuinely extended flank interval
+    slot1 = c_hi._replace(
+        valid=(c_hi.valid & axes_par & mid_case & ~par_miss
+               & ~second_par_miss & (s_hi - s_lo > 1e-5)))
+    return contact_stack([slot0, slot1])
 
 
 # ---------------------------------------------------------------------------

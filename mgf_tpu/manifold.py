@@ -46,12 +46,19 @@ def slot(tree, s):
     return jax.tree_util.tree_map(lambda x: x[s], tree)
 
 
-def prune(lc: LocalContact, max_contacts: int = MAX_CONTACTS) -> Manifold:
+def prune(lc: LocalContact, max_contacts: int = MAX_CONTACTS,
+          prox_sq: float = PERSISTENT_THRESHOLD_SQ) -> Manifold:
     """Build a Manifold from a leading slot axis of LocalContacts.
 
     Reproduces ContactPruner::push (manifold.rs:72-102) + Manifold::from
     (manifold.rs:131-148), unrolled over the incoming slots.
-    """
+
+    ``prox_sq`` is the squared proximity-merge threshold
+    (PruningParams::PERSISTENT_THRESHOLD_SQ, manifold.rs:38).  Callers
+    emitting INTENTIONAL close contact pairs (the capsule flank-interval
+    endpoint extension — small capsules have endpoints < sqrt(0.5) apart)
+    pass a smaller threshold so the pair survives; the reference value
+    stays the default."""
     S = lc.contact.t.shape[0]
     batch = lc.contact.t.shape[1:]
 
@@ -80,10 +87,8 @@ def prune(lc: LocalContact, max_contacts: int = MAX_CONTACTS) -> Manifold:
         matched = jnp.zeros(batch, bool)
         for k in range(max_contacts):
             close = (kept_ok[k]
-                     & ((magnitude2(ga - kept_ga[k])
-                         <= PERSISTENT_THRESHOLD_SQ)
-                        | (magnitude2(gb - kept_gb[k])
-                           <= PERSISTENT_THRESHOLD_SQ)))
+                     & ((magnitude2(ga - kept_ga[k]) <= prox_sq)
+                        | (magnitude2(gb - kept_gb[k]) <= prox_sq)))
             hit = same & ~matched & close
             replace = hit & ((magnitude2(kept_la[k]) + magnitude2(kept_lb[k]))
                              < new_dist)

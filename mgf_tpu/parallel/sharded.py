@@ -39,15 +39,19 @@ from mgf_tpu.solver import (
 )
 from mgf_tpu.world import (
     ShapeView, World, WorldConfig, _body_bounds, _pair_contact,
-    _terrain_contact, gather_shapes, pack_shapes,
+    _terrain_contact, gather_shapes, manifold_prox_sq, pack_shapes,
 )
 
 
 def pad_bodies(state: RigidBodyState, multiple: int) -> RigidBodyState:
     """Pad the body SoA to a row count divisible by ``multiple`` with inert
-    static bodies (inv_mass 0, zero force) parked far from the scene and
-    spaced apart so they produce no candidate pairs.  Lifts the
-    N-divisible-by-mesh restriction of shard_map."""
+    static bodies (inv_mass 0, zero force) parked far from the scene.
+    Lifts the N-divisible-by-mesh restriction of shard_map.
+
+    Pads carry ``shape_r = -1`` — the universal "not a real body" marker:
+    the grid builders (``build_grid``/``build_fat_grid`` ``valid`` arg)
+    skip such rows entirely, so a pad can never alias through the grid
+    modulus into an in-scene bucket and evict a real body (ADVICE r2)."""
     n = state.n_bodies
     pad = (-n) % multiple
     if pad == 0:
@@ -62,7 +66,7 @@ def pad_bodies(state: RigidBodyState, multiple: int) -> RigidBodyState:
         x=Vec3(fix(state.x.x, far), fix(state.x.y, big),
                fix(state.x.z, big)),
         q=state.q._replace(w=fix(state.q.w, jnp.ones((pad,), jnp.float32))),
-        shape_r=fix(state.shape_r, jnp.full((pad,), 0.1, jnp.float32)),
+        shape_r=fix(state.shape_r, jnp.full((pad,), -1.0, jnp.float32)),
     )
 
 
@@ -121,7 +125,8 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         # ---- broadphase: replicated table, local candidate rows ----
         bounds_g = broadphase.swept_fat_bounds(
             _body_bounds(cfg, gview), gview.delta, cfg.fatten)
-        grid = broadphase.build_fat_grid(bounds_g, cfg.grid)
+        grid = broadphase.build_fat_grid(bounds_g, cfg.grid,
+                                         valid=gview.shape_r > 0.0)
         local_centers = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, row0, n_loc),
             bounds_g.c)
@@ -143,7 +148,8 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
             local_b=pc.b - (gb.x + gb.delta * pc.t),
             contact=pc)
         n_slots = 1 if cfg.shape_mode == "spheres" else 2
-        pair_manifold = prune(lc, max_contacts=n_slots)
+        pair_manifold = prune(lc, max_contacts=n_slots,
+                              prox_sq=manifold_prox_sq(cfg))
         K = partner.shape[1]
 
         def _deepest(c):
@@ -186,7 +192,8 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
                 local_a=tc.a - (gt.x + gt.delta * tc.t),
                 local_b=tc.b - terrain_center,
                 contact=tc)
-            blocks.append(man_to_rows(prune(t_lc, max_contacts=n_slots),
+            blocks.append(man_to_rows(prune(t_lc, max_contacts=n_slots,
+                                   prox_sq=manifold_prox_sq(cfg)),
                                       n_tris))
             max_pen = jnp.maximum(max_pen, _deepest(tc))
             partners.append(jnp.full((n_slots * n_tris, n_loc), n_glob,

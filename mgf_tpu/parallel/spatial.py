@@ -19,6 +19,14 @@ mesh size).  This module is the scalable design SURVEY §2.3 planned:
 Comm per step: 2 x (H x 16 floats) + iters x 2 x (H x 8 floats), versus the
 all-gather design's 2 x (N x 12) + iters x (N x 8).
 
+The FLAGSHIP stress config runs on this path (VERDICT r2 #3): warm
+starting, the "near"/"grid" terrain culls, the fat8x4 broadphase, and
+stable/deduped candidate slots are all honored.  Warm-start rows are keyed
+by GLOBAL body ids (carried inside the halo rows), so matching survives
+halo recomposition between frames; re-sharding resets the warm state (one
+cold frame).  Config fields this path genuinely cannot honor raise or warn
+loudly (ADVICE r1) instead of silently diverging.
+
 Soundness: a pair is found iff both bodies are within ``halo_width`` of the
 shared slab boundary (halo_width must cover max pair reach) and within the
 top-H nearest; bodies that drift across slab boundaries keep correct
@@ -33,6 +41,7 @@ Reference analog: this replaces mgf's single-thread BVH broadphase
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -46,25 +55,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mgf_tpu import broadphase
 from mgf_tpu.collision import LocalContact
 from mgf_tpu.manifold import Manifold, prune
-from mgf_tpu.math3d import Quat, Vec3, cross, dot, mat_vec
+from mgf_tpu.math3d import Quat, Vec3, cross, dot, magnitude2, mat_vec
 from mgf_tpu.physics import RigidBodyState, complete_motion, integrate
 from mgf_tpu.solver import (
     BodyView, _friction_impulses, _normal_impulse, build_row_constraints,
     pack_body_state, unpack_body_state,
 )
 from mgf_tpu.world import (
-    ShapeView, World, WorldConfig, _body_bounds, _pair_contact,
-    _terrain_contact, gather_shapes, pack_shapes,
+    ShapeView, SolverWarm, World, WorldConfig, _body_bounds, _pair_contact,
+    _terrain_contact, gather_shapes, manifold_prox_sq, pack_shapes,
+    solver_row_count,
 )
 from mgf_tpu.parallel.sharded import pad_bodies
 
 
-def shard_world_spatial(world: World, mesh: Mesh, axis: str = "b"):
+def shard_world_spatial(world: World, mesh: Mesh, cfg: WorldConfig = None,
+                        axis: str = "b"):
     """Sort bodies by x and place equal slabs on the mesh.
 
     Returns (world, boundaries): boundaries is a (D+1,) float array of slab
     x-extents (quantiles at shard time), consumed by
-    :func:`make_spatial_step`.  Call again to re-shard after long drift.
+    :func:`make_spatial_step`.  Call again to re-shard after long drift
+    (``metrics["spatial_stray"]`` > 0).
+
+    Passing ``cfg`` with ``cfg.warm_start`` attaches a zeroed sharded
+    warm-start state (``world.warm``); re-sharding resets it, so the frame
+    after a re-shard solves cold — warm keys are global *sorted-order* ids
+    which a re-shard permutes.
     """
     d = int(mesh.devices.size)
     xs = np.asarray(world.bodies.x.x)
@@ -91,8 +108,48 @@ def shard_world_spatial(world: World, mesh: Mesh, axis: str = "b"):
         lambda x: jax.device_put(x, repl), world.terrain)
     center = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), world.terrain_center)
-    return (World(bodies=bodies, terrain=terrain, terrain_center=center),
+    tgrid = (jax.device_put(world.terrain_grid, repl)
+             if world.terrain_grid is not None else None)
+    warm = None
+    if cfg is not None and cfg.warm_start:
+        R = solver_row_count(cfg, world.terrain.a.x.shape[0])
+        n = bodies.n_bodies
+        warm_sh = NamedSharding(mesh, P(None, axis))
+        z = jax.device_put(jnp.zeros((R, n), jnp.float32), warm_sh)
+        none = jax.device_put(jnp.full((R, n), -9, jnp.int32), warm_sh)
+        warm = SolverWarm(partner=none, key2=none, acc_n=z, acc_t1=z,
+                          acc_t2=z)
+    return (World(bodies=bodies, terrain=terrain, terrain_center=center,
+                  terrain_grid=tgrid, warm=warm),
             bounds)
+
+
+def _check_cfg(cfg: WorldConfig):
+    """Reject or warn on config fields the spatial path does not honor
+    (ADVICE r1: never silently diverge from the requested semantics)."""
+    if cfg.profile_stage:
+        raise ValueError("spatial step has no profile_stage hooks")
+    if cfg.solver != "rows":
+        raise ValueError("spatial step implements the rows solver only")
+    if cfg.bp_margin > 0.0:
+        warnings.warn(
+            "spatial step rebuilds its local grid every step; "
+            "cfg.bp_margin (fat-proxy pair caching) is ignored",
+            stacklevel=3)
+    if cfg.pallas_narrowphase:
+        warnings.warn(
+            "spatial step uses the jnp narrowphase; "
+            "cfg.pallas_narrowphase is ignored (identical contacts)",
+            stacklevel=3)
+    if cfg.warm_start and cfg.warm_match == "pos":
+        warnings.warn(
+            "spatial step matches warm rows by global-id search "
+            "(halo recomposition shifts local slots); warm_match='pos' "
+            "is upgraded to the order-robust search matching",
+            stacklevel=3)
+    # cfg.fused_iso is a single-device gather-fusion layout; the spatial
+    # path reproduces its SEMANTICS (previous-frame mass-splitting counts)
+    # without the layout — see the counts block in _local_step.
 
 
 def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
@@ -105,6 +162,7 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
     ``halo_width``: pair-reach the halo must cover; defaults to the grid
     cell size (the candidate window guarantee).
     """
+    _check_cfg(cfg)
     D = int(mesh.devices.size)
     boundaries = np.asarray(boundaries, np.float32)
     if halo_width is None:
@@ -112,8 +170,13 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
     H = int(halo)
     right_perm = [(i, i + 1) for i in range(D - 1)]
     left_perm = [(i, i - 1) for i in range(1, D)]
+    # broadphase window/width mapping (world.py step, same table)
+    bp_width = 4 if cfg.broadphase == "fat8x4" else 8
+    bp_window = "sel8" if cfg.broadphase in ("fat8", "fat8x4") else "27"
+    use_warm = cfg.warm_start
 
-    def _local_step(bodies: RigidBodyState, terrain, terrain_center):
+    def _local_step(bodies: RigidBodyState, terrain, terrain_center,
+                    terrain_grid, warm_in):
         state = complete_motion(bodies)
         state = integrate(state, cfg.dt)
         n_loc = state.inv_mass.shape[0]
@@ -122,21 +185,36 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
         lo = jnp.asarray(boundaries)[dev]
         hi = jnp.asarray(boundaries)[dev + 1]
         n_tris = terrain.a.x.shape[0]
+        gid_own = dev * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        gid_static = D * n_loc            # global id of the terrain row
 
         # ---- halo selection: H bodies nearest each slab edge ----
         x = state.x.x
+        alive_own = state.shape_r > 0.0   # pads carry shape_r = -1
         # send-left: smallest x, valid if within halo_width of my lo edge
         sl_score, sl_idx = jax.lax.top_k(-x, H)
-        sl_ok = (-sl_score) <= lo + halo_width
+        sl_ok = ((-sl_score) <= lo + halo_width) & alive_own[sl_idx]
         # send-right: largest x, valid if within halo_width of my hi edge
         sr_score, sr_idx = jax.lax.top_k(x, H)
-        sr_ok = sr_score >= hi - halo_width
+        sr_ok = (sr_score >= hi - halo_width) & alive_own[sr_idx]
         halo_overflow = (
-            jnp.sum(x <= lo + halo_width) - jnp.sum(sl_ok)
-            + jnp.sum(x >= hi - halo_width) - jnp.sum(sr_ok))
-        stray = jnp.sum((x < lo - halo_width) | (x > hi + halo_width))
+            jnp.sum((x <= lo + halo_width) & alive_own) - jnp.sum(sl_ok)
+            + jnp.sum((x >= hi - halo_width) & alive_own) - jnp.sum(sr_ok))
+        stray = jnp.sum(((x < lo - halo_width) | (x > hi + halo_width))
+                        & alive_own)
 
-        # ---- pack + exchange halo shape rows (16 floats per body) ----
+        # previous-frame contact counts (fused_iso mass-splitting
+        # semantics): free from the warm state, exchanged WITH the halo
+        # shape rows so no extra comm round is needed
+        if use_warm and cfg.fused_iso:
+            cnt_prev = jnp.maximum(jnp.sum(
+                (warm_in.partner != -9).astype(jnp.float32), axis=0), 1.0)
+        else:
+            cnt_prev = jnp.ones((n_loc,), jnp.float32)
+
+        # ---- pack + exchange halo rows (16 floats per body) ----
+        # layout: p8 (8: x y z dx dy dz r half_h) | q4 (4) | shape_type |
+        #         global id | cnt_prev | spare
         sv = ShapeView(x=state.x, q=state.q, delta=state.delta,
                        shape_type=state.shape_type, shape_r=state.shape_r,
                        shape_half_h=state.shape_half_h)
@@ -144,46 +222,55 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
 
         def pack_halo(idx, ok):
             p8 = jnp.where(ok[:, None], ps_own.p8[idx], 0.0)
-            # park invalid halo rows far away so they join no pairs
+            # park invalid halo rows far away with NEGATIVE radius: the
+            # grid build masks r <= 0 rows out entirely, so a parked row
+            # can never alias into an occupied bucket (ADVICE r2)
             far = 1.0e8 + jax.lax.broadcasted_iota(
                 jnp.float32, (H, 1), 0) * 100.0
             p8 = jnp.where(ok[:, None], p8,
                            jnp.concatenate([far] * 3 + [p8[:, 3:]], axis=1))
+            p8 = p8.at[:, 6].set(jnp.where(ok, p8[:, 6], -1.0e3))
             q4 = jnp.where(ok[:, None], ps_own.q4[idx],
                            jnp.asarray([[1.0, 0.0, 0.0, 0.0]]))
             st = jnp.where(ok, ps_own.shape_type[idx], 0)
+            gid = jnp.where(ok, gid_own[idx], -7)
+            cnt = jnp.where(ok, cnt_prev[idx], 1.0)
             return jnp.concatenate(
                 [p8, q4, st[:, None].astype(jnp.float32),
-                 jnp.zeros((H, 3), jnp.float32)], axis=1)   # (H, 16)
+                 gid[:, None].astype(jnp.float32), cnt[:, None],
+                 jnp.zeros((H, 1), jnp.float32)], axis=1)   # (H, 16)
 
         send_l = pack_halo(sl_idx, sl_ok)
         send_r = pack_halo(sr_idx, sr_ok)
-        # what I send left arrives as my right neighbor's... no: rows I
-        # send LEFT become the LEFT neighbor's right-halo.  I receive:
-        # from my right neighbor (their send_l) -> my right halo;
+        # rows I send LEFT become the LEFT neighbor's right-halo.  I
+        # receive: from my right neighbor (their send_l) -> my right halo;
         # from my left neighbor (their send_r) -> my left halo.
         recv_r = jax.lax.ppermute(send_l, axis, left_perm)
         recv_l = jax.lax.ppermute(send_r, axis, right_perm)
 
         def halo_shapes(rows16):
             return (rows16[:, :8], rows16[:, 8:12],
-                    rows16[:, 12].astype(jnp.int32))
+                    rows16[:, 12].astype(jnp.int32),
+                    rows16[:, 13].astype(jnp.int32),
+                    rows16[:, 14])
 
-        lp8, lq4, lst = halo_shapes(recv_l)
-        rp8, rq4, rst = halo_shapes(recv_r)
+        lp8, lq4, lst, lgid, lcnt = halo_shapes(recv_l)
+        rp8, rq4, rst, rgid, rcnt = halo_shapes(recv_r)
         ps = type(ps_own)(
             p8=jnp.concatenate([ps_own.p8, lp8, rp8], axis=0),
             q4=jnp.concatenate([ps_own.q4, lq4, rq4], axis=0),
             shape_type=jnp.concatenate([ps_own.shape_type, lst, rst],
                                        axis=0))
+        gids = jnp.concatenate([gid_own, lgid, rgid,
+                                jnp.asarray([gid_static], jnp.int32)])
         m_rows = n_loc + 2 * H          # local body-table height
+        alive_all = ps.p8[:, 6] > 0.0   # own pads + parked halo rows out
 
         # ---- local grid over own + halo rows ----
         centers = Vec3(ps.p8[:, 0], ps.p8[:, 1], ps.p8[:, 2])
         delta = Vec3(ps.p8[:, 3], ps.p8[:, 4], ps.p8[:, 5])
         r_eff = ps.p8[:, 6] + jnp.where(
             ps.shape_type == 1, ps.p8[:, 7], 0.0)
-        lo_b = centers + delta * 0.0 - Vec3(r_eff, r_eff, r_eff)
         from mgf_tpu.geom import AABB
         from mgf_tpu.math3d import vmax, vmin
         blo = vmin(centers - Vec3(r_eff, r_eff, r_eff),
@@ -195,14 +282,27 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
         f = cfg.fatten
         bounds = AABB(c=c, r=Vec3(rr.x + f, rr.y + f, rr.z + f))
 
-        grid = broadphase.build_fat_grid(bounds, cfg.grid)
+        grid = broadphase.build_fat_grid(bounds, cfg.grid, width=bp_width,
+                                         valid=alive_all)
         own_rows = jax.lax.broadcasted_iota(jnp.int32, (n_loc, 1),
                                             0).squeeze(-1)
         own_centers = jax.tree_util.tree_map(lambda g: g[:n_loc], bounds.c)
         partner, pair_ok = broadphase.fat_grid_pairs(
             bounds, grid, cfg.grid, cfg.max_pairs, self_rows=own_rows,
-            ordered=False, query_centers=own_centers,
-            window="sel8" if cfg.broadphase == "fat8" else "27")
+            ordered=False, query_centers=own_centers, window=bp_window)
+
+        if cfg.stable_pairs:
+            # canonical slot order + duplicate masking, exactly as in the
+            # single-device step (grid-modulus aliasing can bin one body
+            # into two windows); local index sort == global-id sort here
+            # because own rows sort below halo rows consistently per body
+            big = jnp.int32(1 << 28)
+            p_s = jnp.sort(jnp.where(pair_ok, partner, big), axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((p_s.shape[0], 1), bool),
+                 p_s[:, 1:] == p_s[:, :-1]], axis=1)
+            pair_ok = (p_s < big) & ~dup
+            partner = jnp.where(pair_ok, p_s, 0)
 
         # ---- narrowphase over own candidate rows (local indices) ----
         prow = jnp.broadcast_to(own_rows[:, None], partner.shape).reshape(-1)
@@ -217,7 +317,8 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             local_b=pc.b - (gb.x + gb.delta * pc.t),
             contact=pc)
         n_slots = 1 if cfg.shape_mode == "spheres" else 2
-        pair_manifold = prune(lc, max_contacts=n_slots)
+        pair_manifold = prune(lc, max_contacts=n_slots,
+                              prox_sq=manifold_prox_sq(cfg))
         K = partner.shape[1]
 
         def _deepest(cc):
@@ -243,24 +344,116 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                 valid=slotf(man.valid),
             )
 
+        S_pair = pair_manifold.valid.shape[0]
         blocks = [man_to_rows(pair_manifold, K)]
         partners = [jnp.broadcast_to(
             jnp.where(pair_ok, partner, m_rows).T[None],
-            (pair_manifold.valid.shape[0], K, n_loc)).reshape(-1, n_loc)]
+            (S_pair, K, n_loc)).reshape(-1, n_loc)]
+        # warm keys: pair rows keyed by (partner GLOBAL id, manifold slot);
+        # terrain rows by (static id, triangle id) — same scheme as the
+        # single-device step, but in the global id space so the key
+        # survives halo recomposition between frames
+        key2s = [jnp.broadcast_to(
+            jnp.arange(S_pair, dtype=jnp.int32)[:, None, None],
+            (S_pair, K, n_loc)).reshape(-1, n_loc)]
+
+        # ---- terrain narrowphase: dense | near | grid cull ----
+        t_reach_excess = jnp.float32(0.0)
         if n_tris > 0:
+            if cfg.terrain_bp == "near":
+                # exact AABB-distance cull to terrain_cand faces per body
+                # (world.py step, same math, own rows only)
+                ta = terrain
+                tlo = [jnp.minimum(jnp.minimum(ta.a.x, ta.b.x), ta.c.x),
+                       jnp.minimum(jnp.minimum(ta.a.y, ta.b.y), ta.c.y),
+                       jnp.minimum(jnp.minimum(ta.a.z, ta.b.z), ta.c.z)]
+                thi = [jnp.maximum(jnp.maximum(ta.a.x, ta.b.x), ta.c.x),
+                       jnp.maximum(jnp.maximum(ta.a.y, ta.b.y), ta.c.y),
+                       jnp.maximum(jnp.maximum(ta.a.z, ta.b.z), ta.c.z)]
+                px = [state.x.x, state.x.y, state.x.z]
+                d2 = jnp.zeros((n_loc, n_tris), jnp.float32)
+                for k in range(3):
+                    d_ax = jnp.maximum(
+                        jnp.maximum(tlo[k][None, :] - px[k][:, None],
+                                    px[k][:, None] - thi[k][None, :]), 0.0)
+                    d2 = d2 + d_ax * d_ax
+                reach = (state.shape_r + state.shape_half_h
+                         + jnp.sqrt(magnitude2(state.delta)) + 0.1)
+                score = jnp.where(d2 <= (reach * reach)[:, None], -d2,
+                                  -jnp.inf)
+                top, pick = jax.lax.top_k(score, cfg.terrain_cand)
+                t_cand = pick.astype(jnp.int32)
+                t_ok = jnp.isfinite(top)
+                t_width = cfg.terrain_cand
+            elif cfg.terrain_bp == "grid":
+                tg = cfg.terrain_grid_cfg
+                tcols = []
+                cc = lambda comp: jnp.floor(
+                    comp / tg.cell_size).astype(jnp.int32)
+                cx, cy, cz = cc(state.x.x), cc(state.x.y), cc(state.x.z)
+                mmask = tg.dim - 1
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dz in (-1, 0, 1):
+                            h = ((((cx + dx) & mmask) * tg.dim
+                                  + ((cy + dy) & mmask)) * tg.dim
+                                 + ((cz + dz) & mmask))
+                            tcols.append(terrain_grid[h])
+                cand = jnp.concatenate(tcols, axis=-1)
+                tb = jnp.int32(1 << 28)
+                cand = jnp.sort(jnp.where(cand >= 0, cand, tb), axis=1)
+                dup = jnp.concatenate(
+                    [jnp.zeros((cand.shape[0], 1), bool),
+                     cand[:, 1:] == cand[:, :-1]], axis=1)
+                cvalid = (cand < tb) & ~dup
+                tcent = (terrain.a + terrain.b + terrain.c) * (1.0 / 3.0)
+                safe = jnp.where(cvalid, cand, 0)
+                dxc = tcent.x[safe] - state.x.x[:, None]
+                dyc = tcent.y[safe] - state.x.y[:, None]
+                dzc = tcent.z[safe] - state.x.z[:, None]
+                d2 = dxc * dxc + dyc * dyc + dzc * dzc
+                score = jnp.where(cvalid, -d2, -jnp.inf)
+                top, pick = jax.lax.top_k(score, cfg.terrain_cand)
+                t_cand = jnp.take_along_axis(
+                    jnp.where(cvalid, cand, -1), pick, axis=1)
+                t_ok = jnp.isfinite(top)
+                t_width = cfg.terrain_cand
+                t_reach = (state.shape_r + state.shape_half_h
+                           + jnp.sqrt(magnitude2(state.delta)))
+                t_reach_excess = jnp.maximum(
+                    jnp.max(jnp.where(alive_own, t_reach, 0.0))
+                    - tg.cell_size, 0.0)
+            else:
+                t_width = n_tris
+                t_cand = jnp.broadcast_to(
+                    jnp.arange(n_tris, dtype=jnp.int32)[None, :],
+                    (n_loc, n_tris))
+                t_ok = jnp.ones((n_loc, n_tris), bool)
+            if cfg.stable_pairs and cfg.terrain_bp in ("near", "grid"):
+                tb = jnp.int32(1 << 28)
+                tcs = jnp.sort(jnp.where(t_ok, t_cand, tb), axis=1)
+                tdup = jnp.concatenate(
+                    [jnp.zeros((tcs.shape[0], 1), bool),
+                     tcs[:, 1:] == tcs[:, :-1]], axis=1)
+                t_ok = (tcs < tb) & ~tdup
+                t_cand = jnp.where(t_ok, tcs, 0)
             t_rows = jnp.broadcast_to(own_rows[:, None],
-                                      (n_loc, n_tris)).reshape(-1)
-            t_tris = jnp.broadcast_to(
-                jax.lax.broadcasted_iota(jnp.int32, (1, n_tris), 1),
-                (n_loc, n_tris)).reshape(-1)
+                                      (n_loc, t_width)).reshape(-1)
+            t_tris = jnp.where(t_ok, t_cand, 0).reshape(-1)
+            t_valid = t_ok.reshape(-1)
             tri = jax.tree_util.tree_map(lambda g: g[t_tris], terrain)
             gt = gather_shapes(cfg, ps, t_rows)
             tc = _terrain_contact(cfg, gt, tri)
+            tc = tc._replace(valid=tc.valid & t_valid[None, :])
             t_lc = LocalContact(
                 local_a=tc.a - (gt.x + gt.delta * tc.t),
                 local_b=tc.b - terrain_center,
                 contact=tc)
-            tman = man_to_rows(prune(t_lc, max_contacts=n_slots), n_tris)
+            tman = man_to_rows(prune(t_lc, max_contacts=n_slots,
+                                   prox_sq=manifold_prox_sq(cfg)), t_width)
+            t_key2 = jnp.broadcast_to(
+                t_tris.reshape(n_loc, t_width).T[None],
+                (n_slots, t_width, n_loc)).reshape(-1, n_loc)
             t_rows_n = tman.valid.shape[0]
             if cfg.terrain_rows and t_rows_n > cfg.terrain_rows:
                 kk = cfg.terrain_rows
@@ -269,14 +462,17 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                 _, t_idx = jax.lax.top_k(score.T, kk)
                 sel = lambda g: jnp.take_along_axis(g, t_idx.T, axis=0)
                 tman = jax.tree_util.tree_map(sel, tman)
+                t_key2 = sel(t_key2)
                 t_rows_n = kk
             blocks.append(tman)
             partners.append(jnp.full((t_rows_n, n_loc), m_rows, jnp.int32))
+            key2s.append(t_key2)
             max_pen = jnp.maximum(max_pen, _deepest(tc))
 
         man_rows = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *blocks)
         partner_rows = jnp.concatenate(partners, axis=0)
+        key2_rows = jnp.concatenate(key2s, axis=0)
 
         if cfg.solver_rows and man_rows.valid.shape[0] > cfg.solver_rows:
             kk = cfg.solver_rows
@@ -286,34 +482,31 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             sel = lambda g: jnp.take_along_axis(g, r_idx.T, axis=0)
             man_rows = jax.tree_util.tree_map(sel, man_rows)
             partner_rows = sel(partner_rows)
+            key2_rows = sel(key2_rows)
 
         # ---- mass-splitting counts for own + halo rows ----
-        counts_own = jnp.maximum(
-            jnp.sum(man_rows.valid, axis=0).astype(jnp.float32), 1.0)
-        # halo rows' counts live on their owner; exchange them the same way
-        cl = jnp.where(sl_ok, counts_own[sl_idx], 1.0)
-        cr = jnp.where(sr_ok, counts_own[sr_idx], 1.0)
-        counts_r = jax.lax.ppermute(cl, axis, left_perm)
-        counts_l = jax.lax.ppermute(cr, axis, right_perm)
-        counts = jnp.concatenate(
-            [counts_own, jnp.maximum(counts_l, 1.0),
-             jnp.maximum(counts_r, 1.0), jnp.ones((1,), jnp.float32)])
+        if use_warm and cfg.fused_iso:
+            # fused_iso semantics: previous-frame counts, already
+            # exchanged inside the halo shape rows — zero extra comm
+            counts = jnp.concatenate(
+                [cnt_prev, jnp.maximum(lcnt, 1.0), jnp.maximum(rcnt, 1.0),
+                 jnp.ones((1,), jnp.float32)])
+            count_comm = 0
+        else:
+            # this-frame counts: halo rows' counts live on their owner;
+            # exchange them the same way as the shape rows
+            counts_own = jnp.maximum(
+                jnp.sum(man_rows.valid, axis=0).astype(jnp.float32), 1.0)
+            cl = jnp.where(sl_ok, counts_own[sl_idx], 1.0)
+            cr = jnp.where(sr_ok, counts_own[sr_idx], 1.0)
+            counts_r = jax.lax.ppermute(cl, axis, left_perm)
+            counts_l = jax.lax.ppermute(cr, axis, right_perm)
+            counts = jnp.concatenate(
+                [counts_own, jnp.maximum(counts_l, 1.0),
+                 jnp.maximum(counts_r, 1.0), jnp.ones((1,), jnp.float32)])
+            count_comm = 2 * H
 
         # ---- extended body view: own + halo + one static row ----
-        def halo_dyn(idx, ok):
-            """(H, 8) packed v/omega/inv_mass rows + inertia, from own."""
-            vm = jnp.stack([state.v.x, state.v.y, state.v.z,
-                            state.omega.x, state.omega.y, state.omega.z,
-                            state.inv_mass, state.restitution],
-                           axis=-1)[idx]
-            return jnp.where(ok[:, None], vm, 0.0)
-
-        def cat_field(own, l_idx, l_ok, r_idx, r_ok, static=0.0):
-            fl = jnp.where(l_ok, own[l_idx], static)
-            fr = jnp.where(r_ok, own[r_idx], static)
-            return fl, fr
-
-        # per-field halo exchange for the constraint precompute
         def exch(own, fill=0.0):
             sl = jnp.where(sl_ok, own[sl_idx], fill)
             sr = jnp.where(sr_ok, own[sr_idx], fill)
@@ -342,6 +535,23 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                                    cfg.dt, counts=counts,
                                    self_rows=own_rows)
 
+        # ---- warm-start row matching (global-id search) ----
+        partner_gid = gids[jnp.minimum(partner_rows, m_rows)]  # (R, n_loc)
+        warm = None
+        if use_warm:
+            eq = ((partner_gid[:, None, :] == warm_in.partner[None])
+                  & (key2_rows[:, None, :] == warm_in.key2[None]))
+            first = eq & (jnp.cumsum(eq.astype(jnp.int8), axis=1) == 1)
+            zn = jnp.zeros(partner_rows.shape, jnp.float32)
+            wn, wt1, wt2 = zn, zn, zn
+            for k in range(warm_in.partner.shape[0]):
+                mk = first[:, k, :].astype(jnp.float32)
+                wn = wn + mk * warm_in.acc_n[k][None]
+                wt1 = wt1 + mk * warm_in.acc_t1[k][None]
+                wt2 = wt2 + mk * warm_in.acc_t2[k][None]
+            okf = rc.valid.astype(jnp.float32)
+            warm = (wn * okf, wt1 * okf, wt2 * okf)
+
         # ---- halo-exchange row solve ----
         S_loc = pack_body_state(state.v, state.omega)     # (8, n_loc)
         ima = state.inv_mass
@@ -356,13 +566,11 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             return jnp.concatenate(
                 [S_loc, hl, hr, jnp.zeros((8, 1), S_loc.dtype)], axis=1)
 
-        def rel_vel(S_glob, S_loc):
+        def partner_term(S_glob):
             g = S_glob[:, rc.partner]
             vb = Vec3(g[0], g[1], g[2])
             ob = Vec3(g[3], g[4], g[5])
-            va = Vec3(S_loc[0][None], S_loc[1][None], S_loc[2][None])
-            oa = Vec3(S_loc[3][None], S_loc[4][None], S_loc[5][None])
-            return (vb + cross(ob, rc.rb)) - (va + cross(oa, rc.ra))
+            return vb + cross(ob, rc.rb)
 
         def apply_self(S_loc, imp: Vec3):
             imp = Vec3(imp.x * rc.valid, imp.y * rc.valid, imp.z * rc.valid)
@@ -374,9 +582,9 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                 [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z], axis=0))
 
         def sweep(carry, _):
-            S_loc, acc_n, acc_t1, acc_t2 = carry
-            frozen = rel_vel(full_state(S_loc), S_loc * 0.0)  # partner term
-            # frozen holds vb + ob x rb with va-part zeroed; subtract self
+            S_loc = carry[0]
+            frozen = partner_term(full_state(S_loc))
+
             def inner(carry2, _):
                 S_loc, acc_n, acc_t1, acc_t2 = carry2
                 va = Vec3(S_loc[0][None], S_loc[1][None], S_loc[2][None])
@@ -400,31 +608,43 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                 return (S_loc, acc_n, acc_t1, acc_t2), None
 
             if cfg.solver_inner == 1:
-                carry, _ = inner((S_loc, acc_n, acc_t1, acc_t2), None)
+                carry, _ = inner(carry, None)
             else:
-                carry, _ = jax.lax.scan(inner,
-                                        (S_loc, acc_n, acc_t1, acc_t2),
-                                        None, length=cfg.solver_inner)
+                carry, _ = jax.lax.scan(inner, carry, None,
+                                        length=cfg.solver_inner)
             return carry, None
 
         zero = rc.bias * 0.0
-        (S_loc, _, _, _), _ = jax.lax.scan(
-            sweep, (S_loc, zero, zero, zero), None,
-            length=cfg.solver_iters)
+        if warm is None:
+            acc0 = (zero, zero, zero)
+        else:
+            wn, wt1, wt2 = warm
+            S_loc = apply_self(S_loc, rc.t1 * wt1 + rc.t2 * wt2
+                               + rc.normal * wn)
+            acc0 = (wn, wt1, wt2)
+        (S_loc, acc_n, acc_t1, acc_t2), _ = jax.lax.scan(
+            sweep, (S_loc,) + acc0, None, length=cfg.solver_iters)
         v_new, o_new = unpack_body_state(S_loc)
         dvx = v_new.x - state.v.x
         dvy = v_new.y - state.v.y
         dvz = v_new.z - state.v.z
         state = state._replace(v=v_new, omega=o_new)
 
-        n_dev = jax.lax.psum(1, axis)
-        comm_floats = (2 * H * 16 + 2 * H * 1        # shapes + counts
+        if use_warm:
+            warm_out = SolverWarm(
+                partner=jnp.where(rc.valid, partner_gid, -9),
+                key2=key2_rows, acc_n=acc_n, acc_t1=acc_t1, acc_t2=acc_t2)
+        else:
+            warm_out = warm_in
+
+        comm_floats = (2 * H * 16 + count_comm
                        + cfg.solver_iters * 2 * H * 8)
         metrics = {
             "broadphase_overflow": jax.lax.psum(grid.overflow, axis),
             "num_pairs": jax.lax.psum(jnp.sum(pair_valid), axis),
             "num_contacts": jax.lax.psum(jnp.sum(rc.valid), axis),
             "max_penetration": jax.lax.pmax(max_pen, axis),
+            "terrain_reach_excess": jax.lax.pmax(t_reach_excess, axis),
             "halo_overflow": jax.lax.psum(halo_overflow, axis),
             "spatial_stray": jax.lax.psum(stray, axis),
             "comm_floats_per_step": jax.lax.psum(
@@ -432,24 +652,43 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             "solver_dv_norm": jnp.sqrt(jax.lax.psum(
                 jnp.sum(dvx * dvx + dvy * dvy + dvz * dvz), axis)),
         }
-        return state, metrics
+        return state, metrics, warm_out
 
+    warm_spec = P(None, axis) if use_warm else P()
+    grid_spec = P()
     try:
         sharded = shard_map(
             _local_step, mesh=mesh,
-            in_specs=(P(axis), P(), P()),
-            out_specs=(P(axis), P()))
+            in_specs=(P(axis), P(), P(), grid_spec, warm_spec),
+            out_specs=(P(axis), P(), warm_spec))
     except TypeError:  # older jax needs check_rep=False for our metrics
         sharded = shard_map(
             _local_step, mesh=mesh,
-            in_specs=(P(axis), P(), P()),
-            out_specs=(P(axis), P()),
+            in_specs=(P(axis), P(), P(), grid_spec, warm_spec),
+            out_specs=(P(axis), P(), warm_spec),
             check_rep=False)
+
+    _dummy_warm = SolverWarm(
+        partner=jnp.full((1, 1), -9, jnp.int32),
+        key2=jnp.full((1, 1), -9, jnp.int32),
+        acc_n=jnp.zeros((1, 1), jnp.float32),
+        acc_t1=jnp.zeros((1, 1), jnp.float32),
+        acc_t2=jnp.zeros((1, 1), jnp.float32))
+    _dummy_grid = jnp.full((1, 1), -1, jnp.int32)
 
     @jax.jit
     def step_fn(world: World):
-        bodies, metrics = sharded(world.bodies, world.terrain,
-                                  world.terrain_center)
-        return world._replace(bodies=bodies), metrics
+        warm = world.warm if use_warm else _dummy_warm
+        if use_warm and world.warm is None:
+            raise ValueError(
+                "cfg.warm_start needs world.warm — shard with "
+                "shard_world_spatial(world, mesh, cfg=cfg)")
+        tgrid = (world.terrain_grid if world.terrain_grid is not None
+                 else _dummy_grid)
+        bodies, metrics, warm_out = sharded(
+            world.bodies, world.terrain, world.terrain_center, tgrid, warm)
+        return world._replace(
+            bodies=bodies,
+            warm=warm_out if use_warm else world.warm), metrics
 
     return step_fn

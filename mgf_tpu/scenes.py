@@ -152,7 +152,11 @@ def terrain_scene(n_bodies: int = 10_000, grid_n: int = 72, seed: int = 2):
         shape_mode="mixed", solver="rows", broadphase="packed",
         grid=GridConfig(cell_size=1.6, dim=64, bucket_cap=8),
         max_pairs=12, fatten=0.1, terrain_bp="grid", terrain_cand=6,
-        terrain_grid_cfg=tg, solver_rows=14)
+        terrain_grid_cfg=tg, solver_rows=14,
+        # spheres occupy the leading rows (added first): the partitioned
+        # narrowphase runs the 4-stage triangle x capsule routine on the
+        # capsule quarter only
+        n_sphere_rows=int(np.sum(~caps)))
     return world, cfg
 
 
@@ -218,6 +222,7 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     if mixed:
         grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
         bp, K, rows, cand = "packed", 12, 16, 4
+        n_sph = int(np.sum(~caps))
     else:
         # grid modulus (dim * cell) must exceed the box span (2 * wall)
         # or occupied cells alias and buckets overflow silently
@@ -254,6 +259,7 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         terrain_bp="near", terrain_cand=cand,
         grid=grid, max_pairs=K, fatten=0.02,
         stable_pairs=True,
+        n_sphere_rows=n_sph if mixed else -1,
         # "search" warm matching with the one-hot accumulator contraction
         # is near-free; positional ("pos") matching measured 97% hit at the
         # settled state but loses too much warm state during the collapse

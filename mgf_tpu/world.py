@@ -105,6 +105,17 @@ class WorldConfig(NamedTuple):
                                      # per-sweep partner gather and impulse
                                      # math scale with the row count
                                      # (0 = keep every slot row)
+    cap_manifold: str = "mid"        # capsule x capsule parallel-flank
+                                     # contacts: "mid" = the reference's
+                                     # single interval-midpoint contact
+                                     # (collision.rs:1331-1354); "ends" =
+                                     # documented EXTENSION emitting the
+                                     # overlap interval's two endpoints in
+                                     # the two manifold slots (and relaxing
+                                     # the pruner's proximity merge so
+                                     # small-capsule endpoint pairs
+                                     # survive) — parallel capsule stacks
+                                     # rock on one-point manifolds
     stable_pairs: bool = False       # sort the candidate partner list (and
                                      # the terrain candidate list) by index
                                      # so row ORDER is deterministic while
@@ -125,6 +136,19 @@ class WorldConfig(NamedTuple):
                                      #   gathers; pair with stable_pairs,
                                      #   which makes slots stable whenever
                                      #   the partner set is unchanged)
+    n_sphere_rows: int = -1          # mixed mode: bodies [0, n_sphere_rows)
+                                     # are spheres, the rest capsules
+                                     # (SceneBuilder emits spheres first).
+                                     # >= 0 enables the TYPE-PARTITIONED
+                                     # narrowphase: the self-side kernel is
+                                     # selected statically per column
+                                     # block, so each pair evaluates 2
+                                     # type kernels instead of 4 and the
+                                     # expensive 4-stage triangle x capsule
+                                     # terrain routine runs only on the
+                                     # capsule block.  Identical contacts;
+                                     # rows solver + culled/absent terrain
+                                     # only (-1 = generic 4-kernel path)
     fused_iso: bool = False          # spheres+rows+warm_start fast path:
                                      # ONE wide partner gather at
                                      # narrowphase time feeds contact test
@@ -318,6 +342,15 @@ def gather_shapes(cfg: WorldConfig, ps: PackedShapes, idx) -> GatheredShapes:
                           shape_type=stype)
 
 
+def manifold_prox_sq(cfg: WorldConfig) -> float:
+    """Pruner proximity-merge threshold for this config: the reference
+    value, or a tight one under the "ends" capsule-manifold extension so
+    intentional endpoint pairs (< sqrt(0.5) apart on small capsules)
+    survive the merge (see manifold.prune)."""
+    from mgf_tpu.manifold import PERSISTENT_THRESHOLD_SQ
+    return 1.0e-4 if cfg.cap_manifold == "ends" else PERSISTENT_THRESHOLD_SQ
+
+
 def _pair_contact(cfg: WorldConfig, ga: GatheredShapes,
                   gb: GatheredShapes) -> Contact:
     """Contact slots (2, P) for body pairs (receiver a, argument b), natively
@@ -326,20 +359,21 @@ def _pair_contact(cfg: WorldConfig, ga: GatheredShapes,
     def two_slot(c: Contact) -> Contact:
         return contact_stack([c, c._replace(valid=jnp.zeros_like(c.valid))])
 
+    ends = cfg.cap_manifold == "ends"
+    cc_fn = functools.partial(contact_capsule_moving_capsule, ends=ends)
     va, vb = ga.delta, gb.delta
     if cfg.shape_mode == "spheres":
         # sphere pairs emit exactly one contact — no second slot
         return contact_stack([contact_moving_moving(
             contact_sphere_moving_sphere, ga.sphere, va, gb.sphere, vb)])
     if cfg.shape_mode == "capsules":
-        return two_slot(contact_moving_moving(
-            contact_capsule_moving_capsule, ga.capsule, va, gb.capsule, vb))
+        c_cc = contact_moving_moving(cc_fn, ga.capsule, va, gb.capsule, vb)
+        return c_cc if ends else two_slot(c_cc)
 
     # mixed: evaluate all four type pairs, select by (type_a, type_b)
     c_ss = contact_moving_moving(contact_sphere_moving_sphere,
                                  ga.sphere, va, gb.sphere, vb)
-    c_cc = contact_moving_moving(contact_capsule_moving_capsule,
-                                 ga.capsule, va, gb.capsule, vb)
+    c_cc = contact_moving_moving(cc_fn, ga.capsule, va, gb.capsule, vb)
     c_cs = contact_moving_moving(contact_capsule_moving_sphere,
                                  ga.capsule, va, gb.sphere, vb)
     c_sc = contact_moving_moving(contact_sphere_moving_capsule,
@@ -349,10 +383,88 @@ def _pair_contact(cfg: WorldConfig, ga: GatheredShapes,
               & (gb.shape_type == SHAPE_CAPSULE))
     cap_sph = ((ga.shape_type == SHAPE_CAPSULE)
                & (gb.shape_type == SHAPE_SPHERE))
+    if ends:
+        cc0 = jax.tree_util.tree_map(lambda x: x[0], c_cc)
+        cc1 = jax.tree_util.tree_map(lambda x: x[1], c_cc)
+        s0 = contact_select(both_s, c_ss,
+                            contact_select(both_c, cc0,
+                                           contact_select(cap_sph, c_cs,
+                                                          c_sc)))
+        s1 = cc1._replace(valid=cc1.valid & both_c)
+        return contact_stack([s0, s1])
     c = contact_select(both_s, c_ss,
                        contact_select(both_c, c_cc,
                                       contact_select(cap_sph, c_cs, c_sc)))
     return two_slot(c)
+
+
+def _pair_contact_split(cfg: WorldConfig, ga: GatheredShapes,
+                        gb: GatheredShapes, ns: int) -> Contact:
+    """Mixed-mode pair narrowphase with bodies PARTITIONED by type along
+    the lane (column) axis — spheres in columns [0, ns), capsules in
+    [ns, N).  The self side's shape type is then static per block, so each
+    pair evaluates TWO type kernels instead of four; contacts are
+    bit-identical to :func:`_pair_contact`.  Requires 2-D slot-major
+    (K, N) batches and type-sorted bodies (SceneBuilder emits spheres
+    first)."""
+    ends = cfg.cap_manifold == "ends"
+    cc_fn = functools.partial(contact_capsule_moving_capsule, ends=ends)
+    sl = lambda t, lo, hi: jax.tree_util.tree_map(
+        lambda g: g[..., lo:hi], t)
+    n = ga.sphere.r.shape[-1]
+    two_slot = lambda c: contact_stack(
+        [c, c._replace(valid=jnp.zeros_like(c.valid))])
+    parts = []
+    if ns > 0:
+        a, b = sl(ga, 0, ns), sl(gb, 0, ns)
+        va, vb = a.delta, b.delta
+        c_ss = contact_moving_moving(contact_sphere_moving_sphere,
+                                     a.sphere, va, b.sphere, vb)
+        c_sc = contact_moving_moving(contact_sphere_moving_capsule,
+                                     a.sphere, va, b.capsule, vb)
+        part_sph = b.shape_type == SHAPE_SPHERE
+        parts.append(two_slot(contact_select(part_sph, c_ss, c_sc)))
+    if ns < n:
+        a, b = sl(ga, ns, n), sl(gb, ns, n)
+        va, vb = a.delta, b.delta
+        c_cs = contact_moving_moving(contact_capsule_moving_sphere,
+                                     a.capsule, va, b.sphere, vb)
+        c_cc = contact_moving_moving(cc_fn, a.capsule, va, b.capsule, vb)
+        part_sph = b.shape_type == SHAPE_SPHERE
+        if ends:
+            cc0 = jax.tree_util.tree_map(lambda x: x[0], c_cc)
+            cc1 = jax.tree_util.tree_map(lambda x: x[1], c_cc)
+            s0 = contact_select(part_sph, c_cs, cc0)
+            s1 = cc1._replace(valid=cc1.valid & ~part_sph)
+            parts.append(contact_stack([s0, s1]))
+        else:
+            parts.append(two_slot(contact_select(part_sph, c_cs, c_cc)))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=-1), *parts)
+
+
+def _terrain_contact_split(cfg: WorldConfig, gt: GatheredShapes,
+                           tri: Triangle, ns: int) -> Contact:
+    """Type-partitioned terrain narrowphase: the expensive 4-stage
+    triangle x capsule routine (collision.rs:693-1086) runs ONLY on the
+    capsule column block; sphere columns get the cheap face/edge sphere
+    test.  Bit-identical contacts to :func:`_terrain_contact`."""
+    sl = lambda t, lo, hi: jax.tree_util.tree_map(
+        lambda g: g[..., lo:hi], t)
+    n = gt.sphere.r.shape[-1]
+    parts = []
+    if ns > 0:
+        g, t_ = sl(gt, 0, ns), sl(tri, 0, ns)
+        cs = contact_triangle_moving_sphere(t_, g.sphere, g.delta)
+        parts.append(contact_stack(
+            [cs, cs._replace(valid=jnp.zeros_like(cs.valid))]))
+    if ns < n:
+        g, t_ = sl(gt, ns, n), sl(tri, ns, n)
+        parts.append(contact_triangle_moving_capsule(t_, g.capsule,
+                                                     g.delta))
+    out = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=-1), *parts)
+    return contact_neg(out)
 
 
 def _terrain_contact(cfg: WorldConfig, gt: GatheredShapes,
@@ -417,6 +529,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     rows_form = cfg.solver == "rows"
 
     # ---- broadphase (replaces fat-proxy BVH refit + query) ----
+    # dead rows (capacity padding / killed bodies, shape_r <= 0) are
+    # excluded from the grid table and from every observability metric
+    alive = state.shape_r > 0.0
     bounds = broadphase.swept_fat_bounds(_body_bounds(cfg, sv), state.delta,
                                          cfg.fatten)
     # reach observability (ADVICE r1): the grid window only guarantees
@@ -424,7 +539,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # ("sel8"); the worst pair reach is the sum of the two largest swept
     # fat radii.  Positive excess means fast movers may exceed the window
     # and silently miss pairs.
-    r_eff = jnp.maximum(bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z))
+    r_eff = jnp.where(alive, jnp.maximum(
+        bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z)), 0.0)
     top2 = jax.lax.top_k(r_eff, 2)[0] if n >= 2 else jnp.zeros((2,))
     guarantee = (cfg.grid.cell_size
                  * (0.5 if cfg.broadphase in ("fat8", "fat8x4") else 1.0))
@@ -434,7 +550,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # modulus (dim * cell), distinct OCCUPIED cells collide in the table
     # and buckets overflow silently (this bit r2's first 100k sweep).
     modulus = cfg.grid.dim * cfg.grid.cell_size
-    span = lambda c: jnp.max(c) - jnp.min(c)
+    span = lambda c: (jnp.max(jnp.where(alive, c, -jnp.inf))
+                      - jnp.min(jnp.where(alive, c, jnp.inf)))
     span_excess = (jnp.maximum(jnp.maximum(
         span(bounds.c.x), jnp.maximum(span(bounds.c.y), span(bounds.c.z)))
         / modulus - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
@@ -447,7 +564,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         def build_pairs(bnds):
             grid = broadphase.build_fat_grid(
                 bnds, cfg.grid,
-                width=4 if cfg.broadphase == "fat8x4" else 8)
+                width=4 if cfg.broadphase == "fat8x4" else 8,
+                valid=alive)
             partner, pair_ok = broadphase.fat_grid_pairs(
                 bnds, grid, cfg.grid, cfg.max_pairs,
                 ordered=not rows_form,
@@ -482,7 +600,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             partner, pair_ok, overflow = build_pairs(bounds)
             bp_rebuilt = jnp.bool_(True)
     elif cfg.use_grid:
-        table = broadphase.build_grid(bounds.c, cfg.grid)
+        table = broadphase.build_grid(bounds.c, cfg.grid, valid=alive)
         cand = broadphase.neighbor_candidates(bounds.c, table, cfg.grid)
         partner, pair_ok = broadphase.refine_pairs(
             bounds, cand, cfg.max_pairs, ordered=not rows_form)
@@ -533,6 +651,12 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             raise ValueError(
                 "cfg.fused_iso requires shape_mode='spheres', solver='rows',"
                 " warm_start=True, solver_rows=0, and a culled terrain_bp")
+    # type-partitioned mixed narrowphase (see cfg.n_sphere_rows): needs the
+    # 2-D slot-major layout and a culled (or absent) terrain
+    split_mixed = (rows_form and not fused and cfg.shape_mode == "mixed"
+                   and cfg.n_sphere_rows >= 0
+                   and (n_tris == 0 or cfg.terrain_bp in ("near", "grid")))
+    two_d = fused or split_mixed
 
     K = partner.shape[1]
     partner_t = partner.T                          # (K, N) — 2 small
@@ -574,6 +698,14 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         pair_valid = pair_ok_t                    # (K, N)
         ps = None
         pc = _pair_contact(cfg, ga, gb)           # slots (1, K, N)
+    elif split_mixed:
+        pair_valid = pair_ok_t                    # (K, N)
+        ps = pack_shapes(sv)
+        rows2 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                                 (K, n))
+        ga = gather_shapes(cfg, ps, rows2)
+        gb = gather_shapes(cfg, ps, cols2)
+        pc = _pair_contact_split(cfg, ga, gb, cfg.n_sphere_rows)
     else:
         pair_valid = pair_ok_t.reshape(-1)
         ps = pack_shapes(sv)
@@ -596,7 +728,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         local_b=pc.b - (gb.x + gb.delta * pc.t),
         contact=pc)
     n_slots = 1 if cfg.shape_mode == "spheres" else 2
-    pair_manifold = prune(lc, max_contacts=n_slots)
+    pair_manifold = prune(lc, max_contacts=n_slots,
+                          prox_sq=manifold_prox_sq(cfg))
     if cfg.profile_stage == "narrow":
         return world, {"probe": jnp.sum(pair_manifold.valid)
                        + jnp.sum(pair_manifold.local_a.x)}
@@ -721,7 +854,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_rows = jnp.broadcast_to(
                 jnp.arange(n, dtype=jnp.int32)[None, :],
                 (t_width, n)).reshape(-1)
-            if fused:
+            if two_d:
                 t_tris = jnp.where(t_ok, t_cand, 0).T       # (T_w, N)
                 t_valid = t_ok.T
             else:
@@ -743,8 +876,15 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         else:
             tri = jax.tree_util.tree_map(lambda x: x[t_tris],
                                          world.terrain)
-        gt = ga if fused else gather_shapes(cfg, ps, t_rows)
-        tc = _terrain_contact(cfg, gt, tri)
+        if fused:
+            gt = ga
+        elif split_mixed:
+            gt = gather_shapes(cfg, ps, jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :], (t_width, n)))
+        else:
+            gt = gather_shapes(cfg, ps, t_rows)
+        tc = (_terrain_contact_split(cfg, gt, tri, cfg.n_sphere_rows)
+              if split_mixed else _terrain_contact(cfg, gt, tri))
         if t_valid is not None:
             tc = tc._replace(valid=tc.valid & t_valid[None])
         t_lc = LocalContact(
@@ -754,7 +894,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         # each terrain LocalContact is its own constraint (world.rs:240-253);
         # prune only merges a single (body,tri) pair's 2 slots (spheres emit
         # at most 1 contact per triangle - don't waste solver rows on slot 2)
-        manifolds.append(prune(t_lc, max_contacts=n_slots))
+        manifolds.append(prune(t_lc, max_contacts=n_slots,
+                               prox_sq=manifold_prox_sq(cfg)))
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
         max_pen = jnp.maximum(max_pen, _deepest(tc))
@@ -1038,6 +1179,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     state = state._replace(v=vt, omega=ot)
 
     metrics = {
+        "num_alive": jnp.sum(alive),
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
         "broadphase_span_excess": span_excess,
@@ -1057,12 +1199,12 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         flat = lambda c: jax.tree_util.tree_map(
             lambda x: x.reshape(x.shape[0], -1), c)
         metrics["pair_contacts"] = dict(i=rows, j=cols,
-                                        contact=flat(pc) if fused else pc)
+                                        contact=flat(pc) if two_d else pc)
         if n_tris > 0:
             metrics["terrain_contacts"] = dict(
                 i=t_rows,
-                tri=t_tris.reshape(-1) if fused else t_tris,
-                contact=flat(tc) if fused else tc)
+                tri=t_tris.reshape(-1) if two_d else t_tris,
+                contact=flat(tc) if two_d else tc)
     return world._replace(bodies=state, warm=new_warm, bp=new_bp), metrics
 
 
@@ -1078,9 +1220,9 @@ def make_step_fn(cfg: WorldConfig):
 
 def extend_world(world: World, new_bodies) -> World:
     """Append bodies to a world between steps (host-side; the step function
-    recompiles for the new N, which is the honest TPU cost model for a
-    grown Pool slab).  ``new_bodies`` is a RigidBodyState (SceneBuilder
-    .build())."""
+    RECOMPILES for the new N).  Prefer :func:`with_capacity` +
+    :func:`spawn_bodies` for O(1) recompile-free insertion (Pool::push
+    semantics)."""
     import numpy as np
     cat = lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)],
                                        axis=0)
@@ -1089,9 +1231,10 @@ def extend_world(world: World, new_bodies) -> World:
 
 
 def remove_bodies(world: World, indices) -> World:
-    """Remove bodies by index (Pool::remove — but TPU arrays have no holes,
-    so surviving indices SHIFT; callers keeping external references should
-    use masks or the utils.slots table instead)."""
+    """Remove bodies by index with array COMPACTION: surviving indices
+    shift and the step recompiles for the new N.  Prefer
+    :func:`kill_bodies` for O(1) stable-index removal (Pool::remove,
+    pool.rs:100-113)."""
     import numpy as np
     n = world.bodies.n_bodies
     keep = np.ones(n, bool)
@@ -1100,3 +1243,131 @@ def remove_bodies(world: World, indices) -> World:
     take = lambda a: jnp.take(jnp.asarray(a), kidx, axis=0)
     return world._replace(
         bodies=jax.tree_util.tree_map(take, world.bodies))
+
+
+# ---------------------------------------------------------------------------
+# capacity-padded worlds: O(1) add/remove without recompilation
+# (Pool semantics, pool.rs:37-113 — stable indices, free-list reuse).
+# A dead row is marked by shape_r <= 0 (the universal "not a real body"
+# signature): the grid builders skip it, the narrowphase cannot hit it,
+# and it is parked far from any scene so the terrain culls drop it too.
+# ---------------------------------------------------------------------------
+
+def _dead_row_fields(rows):
+    """Canonical dead-row signature for body slots ``rows`` (np array)."""
+    import numpy as np
+    rows = np.asarray(rows, np.int64)
+    px = (1.0e5 + 100.0 * rows).astype(np.float32)
+    return px
+
+
+def _kill_rows(bodies: RigidBodyState, idx) -> RigidBodyState:
+    """Mark rows ``idx`` dead in-place (device scatter, no reshape)."""
+    import numpy as np
+    idx_np = np.asarray(idx, np.int64)
+    px = jnp.asarray(_dead_row_fields(idx_np))
+    far = jnp.full((len(idx_np),), 1.0e5, jnp.float32)
+    zero = jnp.zeros((len(idx_np),), jnp.float32)
+    one = jnp.ones((len(idx_np),), jnp.float32)
+    i = jnp.asarray(idx_np)
+    zv = lambda v: Vec3(v.x.at[i].set(zero), v.y.at[i].set(zero),
+                        v.z.at[i].set(zero))
+    zm = lambda m: jax.tree_util.tree_map(lambda g: g.at[i].set(zero), m)
+    return bodies._replace(
+        x=Vec3(bodies.x.x.at[i].set(px), bodies.x.y.at[i].set(far),
+               bodies.x.z.at[i].set(far)),
+        q=Quat(bodies.q.w.at[i].set(one), bodies.q.x.at[i].set(zero),
+               bodies.q.y.at[i].set(zero), bodies.q.z.at[i].set(zero)),
+        v=zv(bodies.v), omega=zv(bodies.omega),
+        force=zv(bodies.force), torque=zv(bodies.torque),
+        delta=zv(bodies.delta),
+        restitution=bodies.restitution.at[i].set(zero),
+        friction=bodies.friction.at[i].set(zero),
+        inv_mass=bodies.inv_mass.at[i].set(zero),
+        inv_moment_body=zm(bodies.inv_moment_body),
+        inv_moment=zm(bodies.inv_moment),
+        shape_type=bodies.shape_type.at[i].set(
+            jnp.zeros((len(idx_np),), bodies.shape_type.dtype)),
+        shape_r=bodies.shape_r.at[i].set(-jnp.ones((len(idx_np),),
+                                                   jnp.float32)),
+        shape_half_h=bodies.shape_half_h.at[i].set(zero),
+    )
+
+
+def _reset_warm(world: World) -> World:
+    """Zero the warm-start state (body-slot surgery invalidates row keys:
+    a reused slot id would warm a NEW body with a dead body's impulses).
+    One cold frame, same convergence class."""
+    if world.warm is None:
+        return world
+    w = world.warm
+    return world._replace(warm=SolverWarm(
+        partner=jnp.full_like(w.partner, -9),
+        key2=jnp.full_like(w.key2, -9),
+        acc_n=jnp.zeros_like(w.acc_n),
+        acc_t1=jnp.zeros_like(w.acc_t1),
+        acc_t2=jnp.zeros_like(w.acc_t2)))
+
+
+def with_capacity(world: World, capacity: int) -> World:
+    """Pad the body store to a static ``capacity`` with dead rows so later
+    :func:`spawn_bodies` / :func:`kill_bodies` are O(1) mask edits that
+    never change array shapes (and therefore never recompile the step).
+    The TPU-native Pool (pool.rs:37-41): capacity is the slab, the
+    shape_r > 0 mask is the free list."""
+    import numpy as np
+    n = world.bodies.n_bodies
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < current bodies {n}")
+    pad = capacity - n
+    if pad == 0:
+        return world
+    bodies = jax.tree_util.tree_map(
+        lambda g: jnp.concatenate(
+            [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0),
+        world.bodies)
+    bodies = _kill_rows(bodies, np.arange(n, capacity))
+    out = world._replace(bodies=bodies)
+    # warm/bp caches are shaped (R, N)/(N, K): rebuild for the new N
+    if world.warm is not None:
+        raise ValueError("call with_capacity BEFORE init_warm")
+    return out
+
+
+def free_slots(world: World):
+    """Host-side indices of dead (spawnable) rows."""
+    import numpy as np
+    return np.nonzero(np.asarray(world.bodies.shape_r) <= 0.0)[0]
+
+
+def spawn_bodies(world: World, new_bodies: RigidBodyState):
+    """Insert bodies into free slots (Pool::push, pool.rs:81-96: freed
+    slots are reused; stable indices).  Returns (world, slot_indices).
+    O(n_new) device scatter — the step never recompiles.  Resets the
+    warm-start state (see :func:`_reset_warm`)."""
+    import numpy as np
+    free = free_slots(world)
+    n_new = new_bodies.n_bodies
+    if len(free) < n_new:
+        raise ValueError(
+            f"world has {len(free)} free slots, need {n_new} — "
+            "re-create with a larger with_capacity")
+    idx = jnp.asarray(free[:n_new])
+    merged = jax.tree_util.tree_map(
+        lambda dst, src: dst.at[idx].set(jnp.asarray(src)),
+        world.bodies, new_bodies)
+    return _reset_warm(world._replace(bodies=merged)), np.asarray(free[:n_new])
+
+
+def kill_bodies(world: World, indices) -> World:
+    """Remove bodies by marking their slots dead (Pool::remove,
+    pool.rs:100-113): surviving indices are STABLE, nothing reshapes, the
+    step never recompiles.  Resets the warm-start state."""
+    return _reset_warm(world._replace(
+        bodies=_kill_rows(world.bodies, indices)))
+
+
+def num_alive(world: World):
+    """Number of live bodies (Pool::len equivalent) — host-side."""
+    import numpy as np
+    return int(np.sum(np.asarray(world.bodies.shape_r) > 0.0))

@@ -490,3 +490,48 @@ def test_plane_moving_sphere():
     s = Sphere(c=V(0, 5, 0), r=F(1.0))
     c = contact_plane_moving_sphere(p, s, V(0, 4, 0))
     assert not bool(c.valid)
+
+
+def test_capsule_capsule_ends_extension():
+    """cap_manifold="ends" EXTENSION: the parallel flank case emits the
+    overlap interval's two endpoint contacts (2 slots) instead of the
+    reference's single midpoint (collision.rs:1331-1354)."""
+    import jax.numpy as jnp
+    from mgf_tpu.collision import contact_capsule_moving_capsule
+    from mgf_tpu.geom import Capsule
+    from mgf_tpu.math3d import vec3
+
+    b = lambda *v: jnp.asarray([list(v)], jnp.float32)
+    vv = lambda x, y, z: vec3(jnp.asarray([x], jnp.float32),
+                              jnp.asarray([y], jnp.float32),
+                              jnp.asarray([z], jnp.float32))
+    c1 = Capsule(a=vv(-1.0, 0.0, 0.0), d=vv(2.0, 0.0, 0.0),
+                 r=jnp.asarray([0.5], jnp.float32))
+    c2 = Capsule(a=vv(-0.5, 0.9, 0.0), d=vv(2.0, 0.0, 0.0),
+                 r=jnp.asarray([0.5], jnp.float32))
+    v = vv(0.0, -0.1, 0.0)
+
+    # reference behavior: single interval-midpoint contact
+    cm = contact_capsule_moving_capsule(c1, c2, v)
+    assert bool(cm.valid[0])
+    # overlap interval on c1 is t in [0.25, 1.0] -> midpoint x = 0.25
+    np.testing.assert_allclose(float(cm.a.x[0]), 0.25, atol=1e-5)
+
+    # extension: the two endpoints, one per slot
+    ce = contact_capsule_moving_capsule(c1, c2, v, ends=True)
+    assert ce.valid.shape[0] == 2
+    assert bool(ce.valid[0, 0]) and bool(ce.valid[1, 0])
+    np.testing.assert_allclose(float(ce.a.x[0, 0]), -0.5, atol=1e-5)
+    np.testing.assert_allclose(float(ce.a.x[1, 0]), 1.0, atol=1e-5)
+    # both contacts share the flank normal and surface points
+    for s in range(2):
+        np.testing.assert_allclose(float(ce.n.y[s, 0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(ce.a.y[s, 0]), 0.5, atol=1e-5)
+        np.testing.assert_allclose(float(ce.b.y[s, 0]), 0.4, atol=1e-5)
+
+    # non-parallel axes: slot 1 must stay invalid
+    c3 = Capsule(a=vv(-0.5, 0.9, -1.0), d=vv(0.0, 0.0, 2.0),
+                 r=jnp.asarray([0.5], jnp.float32))
+    cx = contact_capsule_moving_capsule(c1, c3, v, ends=True)
+    assert bool(cx.valid[0, 0])
+    assert not bool(cx.valid[1, 0])

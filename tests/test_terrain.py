@@ -60,3 +60,35 @@ def test_heightfield_scene_runs():
     # mixed capsule stacks settle at ~0.5 max penetration (single-midpoint
     # capsule manifolds rock under load — see scenes.stress_scene note)
     assert float(m["max_penetration"]) < 0.8
+
+
+def test_mixed_type_partition_matches_generic():
+    """cfg.n_sphere_rows type-partitioned narrowphase must reproduce the
+    generic 4-kernel mixed path exactly (it runs the same kernels on
+    statically-sliced column blocks)."""
+    import functools
+    import jax
+    import numpy as np
+    from mgf_tpu.scenes import terrain_scene
+    from mgf_tpu.world import step
+
+    world, cfg = terrain_scene(n_bodies=160, grid_n=16)
+    assert cfg.n_sphere_rows > 0
+    cfg_gen = cfg._replace(n_sphere_rows=-1)
+    # drop the rain to just above the heightfield (max height 2.0) so
+    # real terrain AND pair contacts form within the first steps
+    world = world._replace(bodies=world.bodies._replace(
+        x=world.bodies.x._replace(y=world.bodies.x.y - 5.0)))
+
+    wa, wb = world, world
+    fa = jax.jit(functools.partial(step, cfg=cfg))
+    fb = jax.jit(functools.partial(step, cfg=cfg_gen))
+    for _ in range(6):
+        wa, ma = fa(wa)
+        wb, mb = fb(wb)
+    assert int(ma["num_contacts"]) == int(mb["num_contacts"])
+    assert int(ma["num_contacts"]) > 0, "scene must actually make contact"
+    np.testing.assert_allclose(np.asarray(wa.bodies.x.y),
+                               np.asarray(wb.bodies.x.y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wa.bodies.v.x),
+                               np.asarray(wb.bodies.v.x), atol=1e-6)

@@ -105,3 +105,84 @@ def test_static_bodies_and_world_surgery():
         world, m = step(world)
     ys = np.asarray(world.bodies.x.y)
     assert ys[0] == 0.0 and 1.30 < ys[1] < 1.55
+
+
+def test_capacity_world_no_recompile():
+    """Pool semantics (pool.rs:37-113): spawn/kill below capacity are O(1)
+    mask edits — the SAME compiled step keeps running (VERDICT r2 #6)."""
+    import functools
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.scenes import balls_scene
+    from mgf_tpu.world import (kill_bodies, num_alive, spawn_bodies, step,
+                               with_capacity)
+
+    world, cfg = balls_scene(num=3, with_dropped=False)   # 27 bodies
+    world = with_capacity(world, 40)
+    assert num_alive(world) == 27
+    f = jax.jit(functools.partial(step, cfg=cfg))
+    w = world
+    for _ in range(3):
+        w, m = f(w)
+    assert f._cache_size() == 1
+    assert int(m["num_alive"]) == 27
+
+    b = SceneBuilder()
+    b.add_spheres(np.asarray([[0.0, 20.0, 0.0], [3.0, 20.0, 0.0]],
+                             np.float32), 0.5, mass=1.0, restitution=0.3,
+                  friction=0.6)
+    w, idx = spawn_bodies(w, b.build())
+    assert list(idx) == [27, 28]          # free-list reuse: first dead rows
+    assert num_alive(w) == 29
+    for _ in range(3):
+        w, m = f(w)
+    assert f._cache_size() == 1, "spawn_bodies must not recompile"
+    assert int(m["num_alive"]) == 29
+    # the spawned bodies actually simulate (gravity pulls them down)
+    ys = np.asarray(w.bodies.x.y)[list(idx)]
+    assert (ys < 20.0 - 1e-4).all()
+
+    w = kill_bodies(w, idx)
+    assert num_alive(w) == 27
+    for _ in range(2):
+        w, m = f(w)
+    assert f._cache_size() == 1, "kill_bodies must not recompile"
+    assert int(m["num_alive"]) == 27
+    assert not np.isnan(np.asarray(w.bodies.x.y)).any()
+
+    # slot REUSE: spawning again fills the killed rows (stable indices)
+    w2, idx2 = spawn_bodies(w, b.build())
+    assert list(idx2) == [27, 28]
+
+
+def test_capacity_kill_matches_never_spawned():
+    """Killing a body must leave survivors on the trajectory they would
+    have had if the killed body had never been spawned (its dead row is
+    bit-identical to a capacity pad row)."""
+    import functools
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.scenes import balls_scene
+    from mgf_tpu.world import kill_bodies, step, with_capacity
+
+    world, cfg = balls_scene(num=3, with_dropped=True)    # 28 bodies
+    f = jax.jit(functools.partial(step, cfg=cfg))
+
+    # A: capacity world, dropped ball killed after 2 steps
+    wa = with_capacity(world, 32)
+    for _ in range(2):
+        wa, _ = f(wa)
+    wa = kill_bodies(wa, [27])
+    for _ in range(4):
+        wa, _ = f(wa)
+
+    # B: the dropped ball never existed (same capacity, same rows)
+    wb, _ = balls_scene(num=3, with_dropped=False)
+    wb = with_capacity(wb._replace(terrain=world.terrain,
+                                   terrain_center=world.terrain_center), 32)
+    wb = kill_bodies(wb, [])              # no-op; keeps tree structure
+    for _ in range(6):
+        wb, _ = f(wb)
+
+    # the dropped ball is 120+ units above the grid: survivors never felt
+    # it, so their trajectories must agree exactly
+    np.testing.assert_allclose(np.asarray(wa.bodies.x.y)[:27],
+                               np.asarray(wb.bodies.x.y)[:27], atol=1e-6)
