@@ -246,14 +246,20 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # separate constraint-precompute and warm-match gathers and cut terrain
     # rows from the per-sweep solver gather (PERF.md r3 section)
     cfg = WorldConfig(
-        # schedule: 4 outer x 4 inner.  The settled-state sweep prefers
-        # 3x6 (30.5 vs 28.3 steps/s at pen 0.10 vs 0.25) but 3 outer
-        # sweeps DIVERGE on the from-scratch collapse transient (pen ~1.0,
-        # the 10k pile scatters: /tmp probe s90..s360 c=5196->57 vs 4x4's
-        # 33634->62033) — block-Jacobi partner terms refresh only per
-        # OUTER sweep, and the collapse needs >=4 refreshes per step.
-        # Schedule changes must be validated from scratch, not settled.
+        # schedule: 4 outer x 4 inner during transients; the ADAPTIVE
+        # schedule drops to 2 outer x 6 inner once the warm-hit fraction
+        # shows a persisted contact set (settled pile).  Measured r3 at
+        # the settled 100k state: 33.4 steps/s at pen 0.185 (vs 28.1 at
+        # 0.143 for stock 4x4), 600-step soak pen 0.10-0.16, contacts
+        # converging to ~676k; from-scratch 10k collapse tracks stock
+        # (hit fraction stays below threshold until the pile persists,
+        # final pen 0.07 / contacts 63k vs stock 0.09 / 63k).  Plain
+        # static 3-outer schedules DIVERGE on the collapse transient —
+        # block-Jacobi partner terms refresh once per OUTER sweep and the
+        # collapse needs >= 4 refreshes per step; the adaptive trigger is
+        # what makes the cheap schedule safe.
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
+        adapt_schedule=(0.97, 2, 6),
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
         terrain_bp="near", terrain_cand=cand,

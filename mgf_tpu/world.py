@@ -136,6 +136,20 @@ class WorldConfig(NamedTuple):
                                      #   gathers; pair with stable_pairs,
                                      #   which makes slots stable whenever
                                      #   the partner set is unchanged)
+    adapt_schedule: tuple = None     # (hit_frac, iters, inner): adaptive
+                                     # solver schedule.  With warm_start,
+                                     # when the fraction of valid rows
+                                     # warm-matched from the previous
+                                     # frame reaches hit_frac (the pile is
+                                     # settled and convergence is
+                                     # amortized), solve with iters x
+                                     # inner sweeps instead of
+                                     # solver_iters x solver_inner.  The
+                                     # full schedule always runs during
+                                     # transients (collapse needs more
+                                     # partner-term refreshes per step);
+                                     # metrics["warm_hit_frac"] records
+                                     # the trigger signal
     n_sphere_rows: int = -1          # mixed mode: bodies [0, n_sphere_rows)
                                      # are spheres, the rest capsules
                                      # (SceneBuilder emits spheres first).
@@ -541,10 +555,18 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # and silently miss pairs.
     r_eff = jnp.where(alive, jnp.maximum(
         bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z)), 0.0)
-    top2 = jax.lax.top_k(r_eff, 2)[0] if n >= 2 else jnp.zeros((2,))
+    # top-2 via two max passes (lax.top_k over 100k costs ~2 ms on v5e
+    # for a 2-element result; two reductions are ~free)
+    if n >= 2:
+        m1 = jnp.max(r_eff)
+        m2 = jnp.maximum(jnp.max(jnp.where(r_eff < m1, r_eff, -jnp.inf)),
+                         0.0)
+        top2sum = jnp.where(jnp.sum(r_eff == m1) >= 2, 2.0 * m1, m1 + m2)
+    else:
+        top2sum = jnp.float32(0.0)
     guarantee = (cfg.grid.cell_size
                  * (0.5 if cfg.broadphase in ("fat8", "fat8x4") else 1.0))
-    reach_excess = (jnp.maximum(top2[0] + top2[1] - guarantee, 0.0)
+    reach_excess = (jnp.maximum(top2sum - guarantee, 0.0)
                     if cfg.use_grid else jnp.float32(0.0))
     # modulus-aliasing observability: if the scene span exceeds the grid
     # modulus (dim * cell), distinct OCCUPIED cells collide in the table
@@ -1068,6 +1090,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             return world, {"probe": jnp.sum(rc.bias)
                            + jnp.sum(rc.normal_mass)}
         warm = None
+        matched = None
         if cfg.warm_start and world.warm is not None:
             if cfg.warm_match == "pos":
                 # positional match: a row warms iff the SAME slot carried
@@ -1080,6 +1103,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                        & (key2_rows == world.warm.key2)).astype(jnp.float32)
                 warm = (world.warm.acc_n * hit, world.warm.acc_t1 * hit,
                         world.warm.acc_t2 * hit)
+                matched = hit > 0.0
             else:
                 # full search: match rows by (partner, key2) key across all
                 # previous slots; the three accumulators ride in one packed
@@ -1105,23 +1129,49 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                     wt1 = wt1 + mk * world.warm.acc_t1[k][None]
                     wt2 = wt2 + mk * world.warm.acc_t2[k][None]
                 warm = (wn, wt1, wt2)
+                matched = jnp.any(first, axis=1)
         # the fused path passes only the N live rows (terrain rows never
         # read the static row at all — n_gather_rows cuts them from the
         # per-sweep state gather)
         sv_in = ((state.v, state.omega, state.inv_mass) if fused
                  else (bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass))
         ngr = n_pair_rows if fused else None
+        warm_hit_frac = jnp.float32(0.0)
         if cfg.warm_start:
             # NOTE: pt0 is NOT passed here — the warm pre-apply moves
             # partner velocities by full accumulated impulses, so a
             # pre-warm frozen term is too stale (measured: settled pile
             # max penetration 0.09 -> 0.34).  The reuse only pays on
             # cold solves.
-            v, omega, acc = solve_rows(
-                rc, sv_in[0], sv_in[1], sv_in[2],
-                solver_inertia, cfg.solver_iters, cfg.friction_mode,
-                cfg.two_phase, cfg.solver_inner, warm=warm,
-                return_acc=True, n_gather_rows=ngr)
+            def run_solve(it, inner):
+                return solve_rows(
+                    rc, sv_in[0], sv_in[1], sv_in[2],
+                    solver_inertia, it, cfg.friction_mode,
+                    cfg.two_phase, inner, warm=warm,
+                    return_acc=True, n_gather_rows=ngr)
+
+            if matched is not None:
+                warm_hit_frac = (
+                    jnp.sum((matched & rc.valid).astype(jnp.float32))
+                    / jnp.maximum(jnp.sum(rc.valid.astype(jnp.float32)),
+                                  1.0))
+            if cfg.adapt_schedule is not None and matched is not None:
+                # adaptive schedule: the warm-hit fraction ~1 means the
+                # contact set persisted from last frame (settled pile,
+                # convergence amortized across frames) — the cheap
+                # schedule's fewer partner-term refreshes suffice.  Any
+                # transient (falling bodies, new contacts) drops the hit
+                # fraction and the full schedule runs.
+                thr, it2, in2 = cfg.adapt_schedule
+                v, omega, acc = jax.lax.cond(
+                    warm_hit_frac >= thr,
+                    lambda _: run_solve(int(it2), int(in2)),
+                    lambda _: run_solve(cfg.solver_iters,
+                                        cfg.solver_inner),
+                    None)
+            else:
+                v, omega, acc = run_solve(cfg.solver_iters,
+                                          cfg.solver_inner)
             new_warm = SolverWarm(partner=jnp.where(rc.valid, partner_rows,
                                                     -9),
                                   key2=key2_rows, acc_n=acc[0],
@@ -1167,6 +1217,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         num_contacts = jnp.sum(con.valid)
         num_constraints = con.valid.shape[0]
         solver_rows_dropped = jnp.int32(0)
+        warm_hit_frac = jnp.float32(0.0)
         new_warm = world.warm
 
     trim = lambda t: jax.tree_util.tree_map(lambda g: g[:n], t)
@@ -1189,6 +1240,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
         "solver_rows_dropped": solver_rows_dropped,
+        "warm_hit_frac": warm_hit_frac,
         # observability (SURVEY §5.5): deepest contact penetration and the
         # total solver velocity correction this step
         "max_penetration": max_pen,
