@@ -163,13 +163,15 @@ def bench_raytrace(world, rays=2048, iters=4):
                  jnp.asarray(rng.uniform(-0.3, 0.3, rays), jnp.float32))
         return p, d
 
-    # cell ~2.5 body diameters keeps bucket load ~2-4 even at the pile's
-    # 0.53 bodies/unit^3; the dim-64 modulus aliases distant cells into one
-    # bucket, which is correctness-preserving for the DDA (candidates are
-    # re-tested exactly; the nearest-hit stop condition only consults true
-    # intersection t), it just adds candidates — cap 16 absorbs it.
+    # sizing: each axis' dims * cell modulus must EXCEED that axis'
+    # OCCUPIED span or distinct occupied cells alias and overflow the
+    # bucket cap — r3's bench caught exactly this (cubic dim 64 at cell
+    # 1.25 -> modulus 80 vs pile span ~139 -> 254k dropped bodies, 346
+    # missed rays).  The settled pile is FLAT (~1.15 bodies/unit^3 over
+    # ~139 x 8 x 139), so the grid is anisotropic: x/z get modulus 160,
+    # y stays at 8 cells; cap 24 covers the ~13 AABB-binned bodies/cell.
     grid = jax.jit(lambda s: build_body_grid(
-        s, cell_size=1.25, dim=64, cap=16))(state)
+        s, cell_size=1.25, dims=(128, 8, 128), cap=24))(state)
     fg = jax.jit(jax.vmap(raytrace_bodies_grid, in_axes=(None, 0, 0)))
     fd = jax.jit(jax.vmap(raytrace_bodies, in_axes=(None, 0, 0)))
     argsets = [mk(1e-4 * i) for i in range(iters)]

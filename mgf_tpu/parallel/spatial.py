@@ -386,37 +386,48 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
                 t_ok = jnp.isfinite(top)
                 t_width = cfg.terrain_cand
             elif cfg.terrain_bp == "grid":
+                # fused-key cull over the packed [fid | centroid] face
+                # table — identical to the single-device step (world.py)
                 tg = cfg.terrain_grid_cfg
-                tcols = []
+                cap_t = terrain_grid.shape[1] // 4
                 cc = lambda comp: jnp.floor(
                     comp / tg.cell_size).astype(jnp.int32)
                 cx, cy, cz = cc(state.x.x), cc(state.x.y), cc(state.x.z)
                 mmask = tg.dim - 1
+                d2_max = (3.0 * tg.cell_size) ** 2
+                inv_scale = 16383.0 / d2_max
+                keys = []
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
                         for dz in (-1, 0, 1):
                             h = ((((cx + dx) & mmask) * tg.dim
                                   + ((cy + dy) & mmask)) * tg.dim
                                  + ((cz + dz) & mmask))
-                            tcols.append(terrain_grid[h])
-                cand = jnp.concatenate(tcols, axis=-1)
-                tb = jnp.int32(1 << 28)
-                cand = jnp.sort(jnp.where(cand >= 0, cand, tb), axis=1)
+                            rows_t = terrain_grid[h]
+                            fid = rows_t[:, :cap_t]
+                            dxc = rows_t[:, cap_t:2 * cap_t] \
+                                - state.x.x[:, None]
+                            dyc = rows_t[:, 2 * cap_t:3 * cap_t] \
+                                - state.x.y[:, None]
+                            dzc = rows_t[:, 3 * cap_t:4 * cap_t] \
+                                - state.x.z[:, None]
+                            d2 = dxc * dxc + dyc * dyc + dzc * dzc
+                            q = jnp.minimum(
+                                (d2 * inv_scale).astype(jnp.int32), 16383)
+                            keys.append(jnp.where(
+                                fid >= 0.0,
+                                ((16383 - q) << 17)
+                                | fid.astype(jnp.int32), -1))
+                keym = jnp.concatenate(keys, axis=1)
+                k1 = min(4 * cfg.terrain_cand, keym.shape[1])
+                top1 = jax.lax.top_k(keym, k1)[0]
                 dup = jnp.concatenate(
-                    [jnp.zeros((cand.shape[0], 1), bool),
-                     cand[:, 1:] == cand[:, :-1]], axis=1)
-                cvalid = (cand < tb) & ~dup
-                tcent = (terrain.a + terrain.b + terrain.c) * (1.0 / 3.0)
-                safe = jnp.where(cvalid, cand, 0)
-                dxc = tcent.x[safe] - state.x.x[:, None]
-                dyc = tcent.y[safe] - state.x.y[:, None]
-                dzc = tcent.z[safe] - state.x.z[:, None]
-                d2 = dxc * dxc + dyc * dyc + dzc * dzc
-                score = jnp.where(cvalid, -d2, -jnp.inf)
-                top, pick = jax.lax.top_k(score, cfg.terrain_cand)
-                t_cand = jnp.take_along_axis(
-                    jnp.where(cvalid, cand, -1), pick, axis=1)
-                t_ok = jnp.isfinite(top)
+                    [jnp.zeros((top1.shape[0], 1), bool),
+                     top1[:, 1:] == top1[:, :-1]], axis=1)
+                top2 = jax.lax.top_k(jnp.where(dup, -1, top1),
+                                     cfg.terrain_cand)[0]
+                t_ok = top2 >= 0
+                t_cand = jnp.where(t_ok, top2 & 0x1FFFF, -1)
                 t_width = cfg.terrain_cand
                 t_reach = (state.shape_r + state.shape_half_h
                            + jnp.sqrt(magnitude2(state.delta)))
@@ -674,7 +685,7 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
         acc_n=jnp.zeros((1, 1), jnp.float32),
         acc_t1=jnp.zeros((1, 1), jnp.float32),
         acc_t2=jnp.zeros((1, 1), jnp.float32))
-    _dummy_grid = jnp.full((1, 1), -1, jnp.int32)
+    _dummy_grid = jnp.full((1, 4), -1.0, jnp.float32)
 
     @jax.jit
     def step_fn(world: World):

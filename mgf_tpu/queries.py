@@ -81,40 +81,54 @@ class BodyGrid(NamedTuple):
     rows pack the full collider inline —
     [cx cy cz r ax ay az dx dy dz is_sphere idx] — so a visited cell costs
     ONE (cap, 12) row fetch and no per-candidate body gather (TPU gather
-    cost is per index)."""
-    table: jnp.ndarray      # (dim^3, cap, 12) float32
+    cost is per index).
+
+    ``dims`` is PER-AXIS (power-of-two each): big piles are usually flat,
+    so giving x/z a modulus that exceeds the scene span while y stays
+    small keeps the table affordable — a cell's modulus must exceed the
+    OCCUPIED span on that axis or distinct occupied cells alias and
+    overflow the bucket cap (query-side aliasing, e.g. a ray far above
+    the pile, stays correctness-preserving: candidates are re-tested
+    exactly)."""
+    table: jnp.ndarray      # (dims[0]*dims[1]*dims[2], cap, 12) float32
     cell_size: float
-    dim: int
+    dims: tuple
     overflow: jnp.ndarray
 
 
-def build_body_grid(state, cell_size: float, dim: int = 64,
-                    cap: int = 8) -> BodyGrid:
+def build_body_grid(state, cell_size: float, dim=64, cap: int = 8,
+                    dims: tuple = None) -> BodyGrid:
     """Bin body colliders into a modular cell grid (the BVH build of
-    bvh.rs:100-161, amortized over a ray batch; rebuild after stepping)."""
+    bvh.rs:100-161, amortized over a ray batch; rebuild after stepping).
+    ``dims`` (dx, dy, dz) overrides the cubic ``dim``."""
     from mgf_tpu.physics import colliders
     spheres, capsules = colliders(state)
     n = state.n_bodies
+    if dims is None:
+        dims = (int(dim),) * 3
+    dx_, dy_, dz_ = dims
+    ncell = dx_ * dy_ * dz_
     reach = state.shape_r + state.shape_half_h
     cc = lambda comp: jnp.floor(comp / cell_size).astype(jnp.int32)
     lo = [cc(state.x.x - reach), cc(state.x.y - reach),
           cc(state.x.z - reach)]
     hi = [cc(state.x.x + reach), cc(state.x.y + reach),
           cc(state.x.z + reach)]
-    mmask = dim - 1
+    alive = state.shape_r > 0.0          # capacity pads / killed bodies
     hs, oks = [], []
     for dx in (0, 1, 2):
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
                 cx, cy, cz = lo[0] + dx, lo[1] + dy, lo[2] + dz
-                oks.append((cx <= hi[0]) & (cy <= hi[1]) & (cz <= hi[2]))
-                hs.append((((cx & mmask) * dim + (cy & mmask)) * dim
-                           + (cz & mmask)))
+                oks.append(alive & (cx <= hi[0]) & (cy <= hi[1])
+                           & (cz <= hi[2]))
+                hs.append((((cx & (dx_ - 1)) * dy_ + (cy & (dy_ - 1)))
+                           * dz_ + (cz & (dz_ - 1))))
     h = jnp.concatenate(hs)
     ins_ok = jnp.concatenate(oks)
     body = jnp.tile(jnp.arange(n, dtype=jnp.int32), 27)
     from mgf_tpu.broadphase import _bucket_ranks
-    sentinel = jnp.int32(dim ** 3)
+    sentinel = jnp.int32(ncell)
     hk = jnp.where(ins_ok, h, sentinel)
     order = jnp.argsort(hk)
     sorted_h = hk[order]
@@ -127,11 +141,11 @@ def build_body_grid(state, cell_size: float, dim: int = 64,
         (state.shape_type == SHAPE_SPHERE).astype(jnp.float32),
         jnp.arange(n, dtype=jnp.float32)], axis=-1)        # (N, 12)
     empty = jnp.full((12,), 0.0, jnp.float32).at[11].set(-1.0)
-    table = jnp.broadcast_to(empty, (dim ** 3, cap, 12))
+    table = jnp.broadcast_to(empty, (ncell, cap, 12))
     src = jnp.where(ok[:, None], rows[body[order]], empty[None, :])
     table = table.at[sorted_h, jnp.minimum(rank, cap - 1)].set(
         src, mode='drop')
-    return BodyGrid(table=table, cell_size=cell_size, dim=dim,
+    return BodyGrid(table=table, cell_size=cell_size, dims=dims,
                     overflow=jnp.sum((rank >= cap) & (sorted_h < sentinel))
                     .astype(jnp.int32))
 
@@ -148,7 +162,7 @@ def raytrace_bodies_grid(grid: BodyGrid, p: Vec3, d: Vec3, dt=jnp.inf,
     """
     cap = grid.table.shape[1]
     cs = grid.cell_size
-    mmask = grid.dim - 1
+    dx_, dy_, dz_ = grid.dims
 
     db = lambda t, k: jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (k,) + jnp.shape(x)), t)
@@ -176,8 +190,8 @@ def raytrace_bodies_grid(grid: BodyGrid, p: Vec3, d: Vec3, dt=jnp.inf,
 
     def body(st):
         cell = st["cell"]
-        h = (((cell[0] & mmask) * grid.dim + (cell[1] & mmask)) * grid.dim
-             + (cell[2] & mmask))
+        h = (((cell[0] & (dx_ - 1)) * dy_ + (cell[1] & (dy_ - 1))) * dz_
+             + (cell[2] & (dz_ - 1)))
         r = grid.table[h]                            # (cap, 12)
         sph = Sphere(c=Vec3(r[:, 0], r[:, 1], r[:, 2]), r=r[:, 3])
         capsule = Capsule(a=Vec3(r[:, 4], r[:, 5], r[:, 6]),

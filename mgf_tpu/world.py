@@ -204,9 +204,11 @@ class World(NamedTuple):
     bodies: RigidBodyState
     terrain: Triangle        # triangle soup in world space, Vec3 (T,)
     terrain_center: Vec3
-    terrain_grid: jnp.ndarray = None  # (dim^3, cap) face table for
-                                      # cfg.terrain_bp == "grid" (built by
-                                      # make_world(terrain_grid_cfg=...))
+    terrain_grid: jnp.ndarray = None  # (dim^3, 4*cap) float face table for
+                                      # cfg.terrain_bp == "grid", rows
+                                      # [fid*cap | cx*cap | cy*cap |
+                                      # cz*cap] (face id + centroid; built
+                                      # by make_world(terrain_grid_cfg=…))
     warm: SolverWarm = None           # cfg.warm_start state (init_warm)
     bp: BpCache = None                # cfg.bp_margin state (init_bp_cache)
 
@@ -280,7 +282,20 @@ def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
                                  terrain_grid_cfg.cell_size,
                                  terrain_grid_cfg.dim,
                                  terrain_grid_cfg.bucket_cap)
-            grid_table = mg.table
+            # component-blocked float rows [fid*cap | cx*cap | cy*cap |
+            # cz*cap]: the face CENTROID rides the window gather, so the
+            # cull's distance scoring needs no per-candidate gather
+            # (r3: three (N, 27*cap) centroid gathers were 88 of the
+            # terrain stage's 91 ms at 10k bodies)
+            ids = np.asarray(mg.table)                       # (C, cap)
+            cent = tv[tf[:, 0]] / 3 + tv[tf[:, 1]] / 3 + tv[tf[:, 2]] / 3
+            safe = np.maximum(ids, 0)
+            okm = ids >= 0
+            comp = [np.where(okm, ids, -1).astype(np.float32),
+                    np.where(okm, cent[safe, 0], 0).astype(np.float32),
+                    np.where(okm, cent[safe, 1], 0).astype(np.float32),
+                    np.where(okm, cent[safe, 2], 0).astype(np.float32)]
+            grid_table = jnp.asarray(np.concatenate(comp, axis=1))
     return World(bodies=bodies, terrain=tri,
                  terrain_center=vfrom(jnp.asarray(terrain_center,
                                                   jnp.float32)),
@@ -803,44 +818,57 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             t_width = cfg.terrain_cand
         elif cfg.terrain_bp == "grid":
             tg = cfg.terrain_grid_cfg
-            tcols = []
+            cap_t = world.terrain_grid.shape[1] // 4
             centers = state.x
             cc = lambda comp: jnp.floor(
                 comp / tg.cell_size).astype(jnp.int32)
             cx, cy, cz = cc(centers.x), cc(centers.y), cc(centers.z)
             mmask = tg.dim - 1
+            # the face table rows carry [fid | centroid xyz] component-
+            # blocked (make_world), so the distance scoring rides the 27
+            # window gathers — a per-candidate centroid gather here was
+            # 3 x (N, 27*cap) indices = 88 of the terrain stage's 91 ms
+            # (r3).  Closeness and face id fuse into one int key
+            # (14-bit quantized d2 | 17-bit fid) exactly like the pair
+            # broadphase's fat_grid_pairs.
+            d2_max = (3.0 * tg.cell_size) ** 2
+            inv_scale = 16383.0 / d2_max
+            keys = []
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
                     for dz in (-1, 0, 1):
                         h = ((((cx + dx) & mmask) * tg.dim
                               + ((cy + dy) & mmask)) * tg.dim
                              + ((cz + dz) & mmask))
-                        tcols.append(world.terrain_grid[h])
-            cand = jnp.concatenate(tcols, axis=-1)       # (N, 27*cap)
-            # dedupe BEFORE the top-k: AABB binning puts one face in every
-            # cell it overlaps, so the window sees the same face id in
-            # several slots; without this, duplicates of the closest faces
-            # eat the terrain_cand selection and farther (still-touching)
-            # faces get dropped.  Sorting by id makes duplicates adjacent;
-            # d2 depends only on (body, face) so keeping the first is safe.
-            tb = jnp.int32(1 << 28)
-            cand = jnp.sort(jnp.where(cand >= 0, cand, tb), axis=1)
+                        rows_t = world.terrain_grid[h]   # (N, 4*cap)
+                        fid = rows_t[:, :cap_t]
+                        dxc = rows_t[:, cap_t:2 * cap_t] \
+                            - centers.x[:, None]
+                        dyc = rows_t[:, 2 * cap_t:3 * cap_t] \
+                            - centers.y[:, None]
+                        dzc = rows_t[:, 3 * cap_t:4 * cap_t] \
+                            - centers.z[:, None]
+                        d2 = dxc * dxc + dyc * dyc + dzc * dzc
+                        q = jnp.minimum((d2 * inv_scale).astype(jnp.int32),
+                                        16383)
+                        keys.append(jnp.where(
+                            fid >= 0.0,
+                            ((16383 - q) << 17) | fid.astype(jnp.int32),
+                            -1))
+            keym = jnp.concatenate(keys, axis=1)         # (N, 27*cap)
+            # AABB binning duplicates a face across window cells;
+            # duplicate keys are IDENTICAL (same fid, same d2) so they
+            # come out of the top-k adjacent: over-select 4x, mask the
+            # adjacent repeats, re-top-k to terrain_cand distinct faces.
+            k1 = min(4 * cfg.terrain_cand, keym.shape[1])
+            top1 = jax.lax.top_k(keym, k1)[0]
             dup = jnp.concatenate(
-                [jnp.zeros((cand.shape[0], 1), bool),
-                 cand[:, 1:] == cand[:, :-1]], axis=1)
-            cvalid = (cand < tb) & ~dup
-            tcent = (world.terrain.a + world.terrain.b
-                     + world.terrain.c) * (1.0 / 3.0)
-            safe = jnp.where(cvalid, cand, 0)
-            dxc = tcent.x[safe] - centers.x[:, None]
-            dyc = tcent.y[safe] - centers.y[:, None]
-            dzc = tcent.z[safe] - centers.z[:, None]
-            d2 = dxc * dxc + dyc * dyc + dzc * dzc
-            score = jnp.where(cvalid, -d2, -jnp.inf)
-            top, pick = jax.lax.top_k(score, cfg.terrain_cand)
-            t_cand = jnp.take_along_axis(
-                jnp.where(cvalid, cand, -1), pick, axis=1)
-            t_ok = jnp.isfinite(top)
+                [jnp.zeros((top1.shape[0], 1), bool),
+                 top1[:, 1:] == top1[:, :-1]], axis=1)
+            top2 = jax.lax.top_k(jnp.where(dup, -1, top1),
+                                 cfg.terrain_cand)[0]
+            t_ok = top2 >= 0
+            t_cand = jnp.where(t_ok, top2 & 0x1FFFF, -1)
             t_width = cfg.terrain_cand
             # window-coverage observability (ADVICE r2): the +-1-cell
             # query window guarantees candidates only while each body's
