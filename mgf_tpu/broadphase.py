@@ -33,10 +33,27 @@ from mgf_tpu.math3d import Vec3, magnitude2, vmax, vmin, vsplat
 
 
 class GridConfig(NamedTuple):
-    """Static broadphase configuration (python scalars; jit-static)."""
+    """Static broadphase configuration (python scalars; jit-static).
+
+    ``dim`` is either one power-of-two (cubic table) or a per-axis
+    (dx, dy, dz) tuple of powers of two.  Each axis' modulus
+    (dim_axis * cell_size) must exceed that axis' occupied span or
+    distinct occupied cells alias into one bucket; flat scenes (piles on
+    a floor) keep dy small — the table shrinks by dy/dx and its build
+    scatter with it."""
     cell_size: float
-    dim: int = 64          # power of two; table has dim^3 buckets
+    dim: object = 64       # int, or (dx, dy, dz) tuple — see grid_dims()
     bucket_cap: int = 4    # max bodies per bucket
+
+
+def grid_dims(cfg: GridConfig):
+    d = cfg.dim
+    return d if isinstance(d, tuple) else (d, d, d)
+
+
+def grid_ncells(cfg: GridConfig) -> int:
+    dx, dy, dz = grid_dims(cfg)
+    return dx * dy * dz
 
 
 class GridTable(NamedTuple):
@@ -50,8 +67,8 @@ def _cell_coords(centers: Vec3, cfg: GridConfig):
 
 
 def _bucket_index(cx, cy, cz, cfg: GridConfig):
-    m = cfg.dim - 1  # dim is a power of two
-    return ((cx & m) * cfg.dim + (cy & m)) * cfg.dim + (cz & m)
+    dx, dy, dz = grid_dims(cfg)  # powers of two
+    return ((cx & (dx - 1)) * dy + (cy & (dy - 1))) * dz + (cz & (dz - 1))
 
 
 def _bucket_ranks(sorted_h, n):
@@ -81,14 +98,14 @@ def build_grid(centers: Vec3, cfg: GridConfig, valid=None) -> GridTable:
     h = _bucket_index(cx, cy, cz, cfg)
     if valid is not None:
         # invalid rows hash past the table and get dropped by the scatter
-        h = jnp.where(valid, h, cfg.dim ** 3)
+        h = jnp.where(valid, h, grid_ncells(cfg))
     order = jnp.argsort(h)
     sorted_h = h[order]
     rank = _bucket_ranks(sorted_h, n)
-    ok = (rank < cfg.bucket_cap) & (sorted_h < cfg.dim ** 3)
-    of = (rank >= cfg.bucket_cap) & (sorted_h < cfg.dim ** 3)
-    table = jnp.full((cfg.dim ** 3, cfg.bucket_cap), -1, jnp.int32)
-    table = table.at[jnp.where(ok, sorted_h, cfg.dim ** 3),
+    ok = (rank < cfg.bucket_cap) & (sorted_h < grid_ncells(cfg))
+    of = (rank >= cfg.bucket_cap) & (sorted_h < grid_ncells(cfg))
+    table = jnp.full((grid_ncells(cfg), cfg.bucket_cap), -1, jnp.int32)
+    table = table.at[jnp.where(ok, sorted_h, grid_ncells(cfg)),
                      jnp.minimum(rank, cfg.bucket_cap - 1)].set(
         jnp.where(ok, order.astype(jnp.int32), -1), mode='drop')
     return GridTable(table=table, overflow=jnp.sum(of).astype(jnp.int32))
@@ -127,12 +144,12 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8,
     cx, cy, cz = _cell_coords(centers, cfg)
     h = _bucket_index(cx, cy, cz, cfg)
     if valid is not None:
-        h = jnp.where(valid, h, cfg.dim ** 3)
+        h = jnp.where(valid, h, grid_ncells(cfg))
         r_eff = jnp.where(valid, r_eff, 0.0)
     order = jnp.argsort(h)
     sorted_h = h[order]
     rank = _bucket_ranks(sorted_h, n)
-    in_table = sorted_h < cfg.dim ** 3
+    in_table = sorted_h < grid_ncells(cfg)
     ok = (rank < cfg.bucket_cap) & in_table
     n_over = jnp.sum((rank >= cfg.bucket_cap) & in_table).astype(jnp.int32)
     if width == 4:
@@ -141,7 +158,7 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8,
         # instead of stride-4 scalar picks — the cull then runs as 8
         # (N, cap) vector ops rather than 8*cap scalar-slot rounds.
         cap = cfg.bucket_cap
-        ncell = cfg.dim ** 3
+        ncell = grid_ncells(cfg)
         empty = jnp.concatenate(
             [jnp.zeros((3 * cap,), jnp.float32),
              jnp.full((cap,), -1.0, jnp.float32)])
@@ -165,11 +182,11 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8,
     # invalid marker: idx slot < 0.  Table rows hold the WHOLE bucket
     # (cap x width floats): one gather index fetches every occupant.
     empty = jnp.zeros((8,), jnp.float32).at[4].set(-1.0)
-    table = jnp.broadcast_to(empty, (cfg.dim ** 3 * cfg.bucket_cap, width))
+    table = jnp.broadcast_to(empty, (grid_ncells(cfg) * cfg.bucket_cap, width))
     slot = sorted_h * cfg.bucket_cap + jnp.minimum(rank, cfg.bucket_cap - 1)
-    table = table.at[jnp.where(ok, slot, cfg.dim ** 3 * cfg.bucket_cap)]\
+    table = table.at[jnp.where(ok, slot, grid_ncells(cfg) * cfg.bucket_cap)]\
         .set(rows, mode='drop')
-    table = table.reshape(cfg.dim ** 3, cfg.bucket_cap * width)
+    table = table.reshape(grid_ncells(cfg), cfg.bucket_cap * width)
     return FatGrid(table=table, overflow=n_over,
                    width=width, r_max=jnp.max(r_eff))
 

@@ -323,7 +323,18 @@ def closest_pts_seg(seg1: Segment, seg2: Segment):
     both_pts = a <= COLLISION_EPSILON
     seg2_pt = e <= COLLISION_EPSILON
 
-    parallel = (denom == 0.0) & ~both_pts & ~seg2_pt
+    # RELATIVE-tolerance parallel classification (documented ROBUSTNESS
+    # divergence from the reference's exact test, geom.rs:428-431):
+    # denom = a*e - b^2 = a*e*sin^2(angle) cancels catastrophically for
+    # near-parallel segments, so in f32 it rounds to exactly 0 while an
+    # f64 evaluation keeps a ~1e-17 residue — PRECISION picks the branch,
+    # and the non-parallel branch's s_gen = (b*f - c*e)/denom is
+    # ill-conditioned garbage (clamped) there.  Classifying parallel for
+    # sin^2 <= 1e-6 (angle <~ 1e-3 rad) keeps f32 and f64 on the same,
+    # well-conditioned interval path (oracle._closest_pts_seg mirrors
+    # this; r3 parity chase — the exact test produced 0.26 witness
+    # slides between precisions).
+    parallel = (denom <= COLLISION_EPSILON * a * e) & ~both_pts & ~seg2_pt
     s_gen = clamp(safe_div(b * f - c * e, denom), 0.0, 1.0)
     t_unnorm = b * s_gen + f
     s_gen = jnp.where(t_unnorm < 0.0, clamp(safe_div(-c, a), 0.0, 1.0), s_gen)

@@ -292,7 +292,10 @@ def _closest_pts_seg(a1, b1, a2, b2):
     denom = a * e - b * b
     both_pts = a <= COLLISION_EPSILON
     seg2_pt = e <= COLLISION_EPSILON
-    parallel = (denom == 0.0) & ~both_pts & ~seg2_pt
+    # relative tolerance matching geom.closest_pts_seg (r3): the exact
+    # denom == 0 test lets PRECISION pick the branch for near-parallel
+    # segments (f32 cancels to exactly 0, f64 keeps ~1e-17)
+    parallel = (denom <= COLLISION_EPSILON * a * e) & ~both_pts & ~seg2_pt
     s_gen = np.clip(_safe_div(b * f - c * e, denom), 0.0, 1.0)
     t_un = b * s_gen + f
     s_gen = np.where(t_un < 0.0, np.clip(_safe_div(-c, a), 0.0, 1.0), s_gen)

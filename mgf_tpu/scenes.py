@@ -220,7 +220,10 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # rows to the 8 earliest-TOI per body.  Mixed keeps the 27-cell packed
     # grid: capsule pair reach exceeds the sel8 guarantee at this cell.
     if mixed:
-        grid = GridConfig(cell_size=1.6, dim=128, bucket_cap=8)
+        # per-axis dims: the pile is FLAT — y occupies ~2 + 12*1.25 + bounce
+        # << the x/z span, so y gets 32 cells (51.2 modulus) and the table
+        # (and its build scatter) shrinks 4x.  span_excess watches aliasing.
+        grid = GridConfig(cell_size=1.6, dim=(128, 32, 128), bucket_cap=8)
         bp, K, rows, cand = "packed", 12, 16, 4
         n_sph = int(np.sum(~caps))
     else:
@@ -229,7 +232,11 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         dim = 32
         while dim * 2.4 < 2.0 * wall + 10.0:
             dim *= 2
-        grid = GridConfig(cell_size=2.4, dim=dim, bucket_cap=24)
+        # per-axis dims (r3): the pile is FLAT — y spans ~0..17 plus bounce
+        # (16 cells = 38.4 modulus covers it; span_excess watches aliasing)
+        # while x/z need `dim`.  The fat table + its build scatter shrink
+        # dim/16-fold, the dominant pairs-stage cost at 100k.
+        grid = GridConfig(cell_size=2.4, dim=(dim, 16, dim), bucket_cap=24)
         # R = K + terrain_cand = 12 solver rows, NO compaction: the
         # packed top-k selection's (R0, N, 20) intermediate pads its
         # 20-wide minor dim 6.4x — measured slower than just solving the

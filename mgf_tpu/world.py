@@ -584,14 +584,17 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     reach_excess = (jnp.maximum(top2sum - guarantee, 0.0)
                     if cfg.use_grid else jnp.float32(0.0))
     # modulus-aliasing observability: if the scene span exceeds the grid
-    # modulus (dim * cell), distinct OCCUPIED cells collide in the table
-    # and buckets overflow silently (this bit r2's first 100k sweep).
-    modulus = cfg.grid.dim * cfg.grid.cell_size
+    # modulus (dim_axis * cell, PER AXIS since dims may differ), distinct
+    # OCCUPIED cells collide in the table and buckets overflow silently
+    # (this bit r2's first 100k sweep).
+    gdims = broadphase.grid_dims(cfg.grid)
     span = lambda c: (jnp.max(jnp.where(alive, c, -jnp.inf))
                       - jnp.min(jnp.where(alive, c, jnp.inf)))
-    span_excess = (jnp.maximum(jnp.maximum(
-        span(bounds.c.x), jnp.maximum(span(bounds.c.y), span(bounds.c.z)))
-        / modulus - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
+    span_excess = (jnp.maximum(jnp.maximum(jnp.maximum(
+        span(bounds.c.x) / (gdims[0] * cfg.grid.cell_size),
+        span(bounds.c.y) / (gdims[1] * cfg.grid.cell_size)),
+        span(bounds.c.z) / (gdims[2] * cfg.grid.cell_size))
+        - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
     if cfg.profile_stage == "integrate":
         return world, {"probe": jnp.sum(bounds.c.x)}
     new_bp = world.bp
