@@ -110,7 +110,8 @@ def test_balls_contact_stream_parity():
                                    mgf_friction=True)
 
     steps = 90
-    worst = dict(dt=0.0, dn=0.0, dp=0.0, miss=0, total=0, dv=0.0)
+    worst = dict(dt=0.0, dn=0.0, dp=0.0, miss=0, total=0)
+    dvs = []
     for s in range(steps):
         w_in = oracle.to_world(ow, world)
         w, m = f(w_in)
@@ -118,21 +119,24 @@ def test_balls_contact_stream_parity():
                                      mgf_friction=True)
         worst = _diff_streams(m, rec, worst)
         # solver-schedule divergence on this step's velocity output
-        worst["dv"] = max(worst["dv"],
-                          float(np.abs(np.asarray(w.bodies.v.y)
-                                       - ow.v[:, 1]).max()))
+        dvs.append(float(np.abs(np.asarray(w.bodies.v.y)
+                                - ow.v[:, 1]).max()))
 
-    # measured r2: miss 0/~1.7k, dt ~5e-5, dn ~1e-7, dp ~8e-7.  dv is a
-    # recorded DIAGNOSTIC of the rows-Jacobi vs sequential-GS schedule
-    # divergence: on violent landing-cascade frames (bodies impacting the
-    # pile at ~24 m/s) the one-step velocity outputs diverge chaotically
-    # (measured peaks ~41) while the contact streams stay identical; the
-    # tight trajectory bound lives in test_sequential_trajectory_parity
-    assert worst["miss"] / worst["total"] < 0.01, worst
-    assert worst["dt"] <= 2e-3, worst
-    assert worst["dn"] <= 1e-2, worst
-    assert worst["dp"] <= 1e-2, worst
-    assert worst["dv"] <= 60.0, worst
+    # measured r3 (CI bounds ~2x measured): miss 0/1714, dt 4.0e-5,
+    # dn 6e-8, dp 8.3e-7
+    assert worst["miss"] == 0, worst
+    assert worst["dt"] <= 1e-4, worst
+    assert worst["dn"] <= 2e-7, worst
+    assert worst["dp"] <= 2e-6, worst
+    # dv measures the rows-Jacobi vs sequential-GS SCHEDULE divergence,
+    # not an error: on quiet frames the one-step velocity outputs agree
+    # to ~1e-6 (median gate), while on violent landing-cascade frames
+    # (bodies impacting the pile at ~24 m/s) they diverge chaotically
+    # (measured peak 41 on 10/90 frames) with identical contact streams;
+    # the tight trajectory bound lives in test_sequential_trajectory_parity
+    dvs = np.asarray(dvs)
+    assert np.median(dvs) <= 1e-3, dvs
+    assert int((dvs > 5.0).sum()) <= 15, dvs
 
 
 def test_sequential_trajectory_parity():
@@ -193,14 +197,21 @@ def test_capsule_contact_stream_parity():
         w, m = f(w_in)
         ow, rec = oracle.oracle_step(ow, dt=cfg.dt, iters=20)
         worst = _diff_streams(m, rec, worst)
-    # measured r2: miss 1/~800 (one f32/f64 boundary flicker), dt ~4e-3
-    # (capsule TOI quadratics are touchier than spheres), dn ~9e-7,
-    # dp ~0.26 (witness points on flat/parallel contacts can slide along
-    # the axis between precisions; normals and TOI still agree)
-    assert worst["miss"] / worst["total"] < 0.02, worst
-    assert worst["dt"] <= 2e-2, worst
-    assert worst["dn"] <= 1e-3, worst
-    assert worst["dp"] <= 1.0, worst
+    # measured r3 after the relative-tolerance parallel classification in
+    # closest_pts_seg (CI bounds ~2x measured): miss 1/581, dt 4.4e-3
+    # (capsule TOI quadratics are touchier than spheres), dn 8.7e-7,
+    # dp 1.6e-5 (was 0.26 with the exact denom==0 test — precision picked
+    # the branch and the witness slid along the axis).  The single
+    # residual miss is DIAGNOSED IRREDUCIBLE resync flicker, not a code
+    # divergence: at step 33 the pair's true f64 separation is 2.000276
+    # vs r_sum 2.0 (276 um graze) and the engine and oracle agree
+    # exactly on identical inputs (both reject); the miss appears only
+    # because the independently f32-integrated engine state sits on the
+    # other side of the physical contact boundary than the f64 state.
+    assert worst["miss"] <= 2, worst
+    assert worst["dt"] <= 8e-3, worst
+    assert worst["dn"] <= 2e-6, worst
+    assert worst["dp"] <= 1e-4, worst
 
 
 def test_oracle_native_vs_python_solver():
