@@ -279,7 +279,10 @@ def main():
             except Exception as e:  # pragma: no cover
                 secondary["stress_mixed_error"] = repr(e)[:200]
     w, cfg = stress_scene(n, mixed=args.mixed)
-    sps, comp, world, m = time_steps(w, cfg, warmup=180, iters=60)
+    # warmup 600: the broadphase rebuild cadence (cfg.bp_every) engages
+    # once fewer than ~32 bodies move fast enough to need clamped slack
+    # (~step 550 at 100k); the headline measures the settled steady state
+    sps, comp, world, m = time_steps(w, cfg, warmup=600, iters=60)
     secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
     secondary["stress_broadphase_overflow"] = int(m["broadphase_overflow"])

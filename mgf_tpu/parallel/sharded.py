@@ -101,6 +101,10 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
         warnings.warn(
             "sharded step does not compact terrain rows; cfg.terrain_rows "
             "is ignored — use parallel.spatial", stacklevel=2)
+    if cfg.bp_every > 1:
+        warnings.warn(
+            "sharded step rebuilds its broadphase every step; "
+            "cfg.bp_every (rebuild cadence) is ignored", stacklevel=2)
 
     def _local_step(bodies: RigidBodyState, terrain, terrain_center):
         state = complete_motion(bodies)

@@ -136,6 +136,11 @@ def _check_cfg(cfg: WorldConfig):
             "spatial step rebuilds its local grid every step; "
             "cfg.bp_margin (fat-proxy pair caching) is ignored",
             stacklevel=3)
+    if cfg.bp_every > 1:
+        warnings.warn(
+            "spatial step rebuilds its local grid every step; "
+            "cfg.bp_every (broadphase rebuild cadence) is ignored",
+            stacklevel=3)
     if cfg.pallas_narrowphase:
         warnings.warn(
             "spatial step uses the jnp narrowphase; "

@@ -278,6 +278,15 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # settled state but loses too much warm state during the collapse
         # transient (contacts stall at ~455k vs 635k, pen 0.5 vs 0.13)
         warm_match="search",
+        # broadphase rebuild cadence (r3): once settled (the gate engages
+        # only while every body's slacked reach fits the bucket-window
+        # guarantee) the grid build + cull + top-k run every other step;
+        # transients rebuild every step automatically.  fat8x4 only —
+        # the mixed path's packed broadphase has no cache.
+        bp_every=1 if mixed else 2,
         fused_iso=not mixed)
-    from mgf_tpu.world import init_warm
-    return init_warm(world, cfg), cfg
+    from mgf_tpu.world import init_bp_cache, init_warm
+    world = init_warm(world, cfg)
+    if cfg.bp_every > 1:
+        world = init_bp_cache(world, cfg)
+    return world, cfg

@@ -622,7 +622,8 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                inv_moment: Mat3, iters: int,
                friction_mode: str = "textbook", two_phase: bool = True,
                inner_iters: int = 1, warm=None, return_acc: bool = False,
-               partner_term0: Vec3 = None, n_gather_rows: int = None):
+               partner_term0: Vec3 = None, n_gather_rows: int = None,
+               pallas_inner: bool = False):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
     rows; only the first N (= rc.partner.shape[1]) bodies are updated.
     Returns updated (v, omega) for all M rows (statics unchanged).
@@ -652,6 +653,12 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     partner term is identically zero and the per-sweep state gather only
     fetches the leading ``n_gather_rows`` rows — the single hottest gather
     in the whole step shrinks by the terrain-row fraction.
+
+    ``pallas_inner``: run each outer iteration's inner sweeps as the fused
+    Pallas kernel (ops/solver_sweep.py) — identical math, but the ~18
+    (R, N) constraint channels stream through VMEM once per OUTER
+    iteration instead of once per sweep.  Requires the iso path (scalar
+    ``inv_moment``), single-phase, textbook friction.
     """
     n = rc.partner.shape[1]
     S = pack_body_state(v, omega)
@@ -731,6 +738,32 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         wn, wt1, wt2 = [w * rc.valid for w in warm]
         S = apply_self(S, rc.t1 * wt1 + rc.t2 * wt2 + rc.normal * wn)
         acc0 = (wn, wt1, wt2)
+
+    if pallas_inner:
+        if (two_phase or friction_mode != "textbook"
+                or isinstance(inv_moment, Mat3)):
+            raise ValueError("pallas_inner requires the single-phase "
+                             "textbook-friction iso (scalar inertia) path")
+        from mgf_tpu.ops import solver_sweep as _ss
+        pad = (-n) % _ss._BLOCK
+        padN = lambda a: (jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+                          if pad else a)
+        fields = padN(_ss.pack_row_fields(rc))
+        self_p = padN(jnp.stack([ima, ia_s]))
+        acc = padN(jnp.stack(acc0))
+        for k in range(iters):
+            t = (partner_term0 if (k == 0 and partner_term0 is not None)
+                 else partner_term(S))
+            term = padN(jnp.stack([t.x, t.y, t.z]))
+            Sn, acc = _ss.inner_sweeps(padN(S[:, :n]), fields, term,
+                                       self_p, acc, inner_iters)
+            S = jnp.concatenate([Sn[:, :n], S[:, n:]], axis=1)
+        v_out, o_out = unpack_body_state(S)
+        if return_acc:
+            return v_out, o_out, (acc[0, :, :n], acc[1, :, :n],
+                                  acc[2, :, :n])
+        return v_out, o_out
+
     carry = (S,) + acc0
     n_outer = iters
     if partner_term0 is not None and iters >= 1:

@@ -88,6 +88,23 @@ class WorldConfig(NamedTuple):
                                      # build anchor (fat-proxy refit
                                      # semantics, world.rs:233-238); the
                                      # world must carry init_bp_cache state
+    bp_every: int = 1                # > 1: rebuild the candidate list only
+                                     # every bp_every-th step; off-steps
+                                     # reuse the cache (narrowphase stays
+                                     # exact — only the candidate SET is
+                                     # stale).  Build slack covers the
+                                     # skipped steps' motion per body
+                                     # ((bp_every-1) * (2|delta| + 0.02):
+                                     # an impulse can at most reverse the
+                                     # approach, doubling the per-step
+                                     # travel).  Amortizes the grid build +
+                                     # cull + top-k — the dominant 100k
+                                     # stage.  metrics[
+                                     # "broadphase_cache_drift_excess"]
+                                     # reports actual drift beyond the
+                                     # slack (> 0 = a fast body outran the
+                                     # cache; candidates may be missed).
+                                     # Requires init_bp_cache state.
     warm_start: bool = False         # rows solver: persist accumulated
                                      # impulses across frames (matched by
                                      # (partner, slot/triangle) keys) and
@@ -99,6 +116,15 @@ class WorldConfig(NamedTuple):
                                       # narrowphase as the Pallas TPU kernel
                                       # (ops/narrowphase.py) instead of the
                                       # jnp path
+    pallas_solver: bool = False      # iso rows path (fused_iso, single-
+                                     # phase, textbook friction): run each
+                                     # outer iteration's inner sweeps as
+                                     # the fused Pallas kernel
+                                     # (ops/solver_sweep.py) — identical
+                                     # math; the (R, N) constraint
+                                     # channels stream through VMEM once
+                                     # per OUTER iteration instead of once
+                                     # per sweep
     solver_rows: int = 0             # rows solver: compact ALL constraint
                                      # rows (pairs + terrain) to the top-k
                                      # valid per body before the solve — the
@@ -187,6 +213,8 @@ class BpCache(NamedTuple):
     ok: jnp.ndarray        # (N, K) bool
     anchor: Vec3           # positions at build time (end-of-sweep)
     overflow: jnp.ndarray  # () int32 from the build
+    count: jnp.ndarray     # () int32 steps since init (cfg.bp_every cadence)
+    slack: jnp.ndarray     # (N,) float32 per-body extra fat at build time
 
 
 class SolverWarm(NamedTuple):
@@ -237,7 +265,9 @@ def init_bp_cache(world: World, cfg: WorldConfig) -> World:
         ok=jnp.zeros((n, cfg.max_pairs), bool),
         anchor=Vec3(jnp.full((n,), 1.0e9), jnp.full((n,), 1.0e9),
                     jnp.full((n,), 1.0e9)),
-        overflow=jnp.int32(0)))
+        overflow=jnp.int32(0),
+        count=jnp.int32(0),
+        slack=jnp.zeros((n,), jnp.float32)))
 
 
 def init_warm(world: World, cfg: WorldConfig) -> World:
@@ -599,7 +629,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         return world, {"probe": jnp.sum(bounds.c.x)}
     new_bp = world.bp
     if cfg.use_grid and cfg.broadphase in ("fat", "fat8", "fat8x4"):
-        use_cache = cfg.bp_margin > 0.0 and world.bp is not None
+        use_cache = ((cfg.bp_margin > 0.0 or cfg.bp_every > 1)
+                     and world.bp is not None)
 
         def build_pairs(bnds):
             grid = broadphase.build_fat_grid(
@@ -613,32 +644,76 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             return partner, pair_ok, grid.overflow
 
         if use_cache:
-            # fat-proxy refit semantics: rebuild only when some body has
-            # drifted > margin/2 from the position the cache was built at
             x_end = state.x + state.delta
             drift2 = magnitude2(x_end - world.bp.anchor)
-            need = jnp.max(drift2) > (0.5 * cfg.bp_margin) ** 2
-            fat_bounds = broadphase.swept_fat_bounds(
-                _body_bounds(cfg, sv), state.delta,
-                cfg.fatten + cfg.bp_margin)
+            if cfg.bp_every > 1:
+                # fixed-cadence amortization: rebuild every bp_every-th
+                # step.  Desired build slack per body covers the skipped
+                # steps' worst-case motion (an impulse can at most reverse
+                # the approach, doubling per-step travel, plus slop for
+                # gravity/solver velocity growth) — but slack also
+                # inflates the body's reach, and the bucket-window
+                # guarantee (pair reach <= guarantee) must not degrade
+                # below the ungated build's.  So slack is CLAMPED per
+                # body to the window budget: settled bodies (tiny delta)
+                # get full coverage, fast bodies get none — their NEW
+                # pairs can appear one step late on reuse steps (the
+                # reference's fat-proxy margin has the same character,
+                # world.rs:181/233-238).  If more than a handful of
+                # bodies are clamped (a transient, not a few strays) the
+                # cadence disengages and every step rebuilds.
+                dmag = jnp.sqrt(magnitude2(state.delta))
+                desired = ((cfg.bp_every - 1)
+                           * (2.0 * dmag + 0.02)).astype(jnp.float32)
+                budget = jnp.maximum(0.5 * guarantee - r_eff, 0.0)
+                slack = jnp.minimum(desired, budget)
+                n_clamped = jnp.sum((desired > budget) & alive)
+                need = (((world.bp.count % cfg.bp_every) == 0)
+                        | (n_clamped > 32))
+                if cfg.bp_margin > 0.0:   # drift safety net composes
+                    need = need | (jnp.max(drift2)
+                                   > (0.5 * cfg.bp_margin) ** 2)
+                fat_bounds = broadphase.swept_fat_bounds(
+                    _body_bounds(cfg, sv), state.delta,
+                    cfg.fatten + cfg.bp_margin)
+                fat_bounds = fat_bounds._replace(r=Vec3(
+                    fat_bounds.r.x + slack, fat_bounds.r.y + slack,
+                    fat_bounds.r.z + slack))
+            else:
+                # fat-proxy refit semantics: rebuild only when some body
+                # drifted > margin/2 from the position the cache was
+                # built at
+                slack = jnp.full((n,), 0.5 * cfg.bp_margin, jnp.float32)
+                need = jnp.max(drift2) > (0.5 * cfg.bp_margin) ** 2
+                fat_bounds = broadphase.swept_fat_bounds(
+                    _body_bounds(cfg, sv), state.delta,
+                    cfg.fatten + cfg.bp_margin)
 
             def rebuild(_):
                 p, ok, of = build_pairs(fat_bounds)
-                return p, ok, of, x_end.x, x_end.y, x_end.z
+                return (p, ok, of, x_end.x, x_end.y, x_end.z, slack)
 
             def reuse(_):
                 b = world.bp
                 return (b.partner, b.ok, b.overflow,
-                        b.anchor.x, b.anchor.y, b.anchor.z)
+                        b.anchor.x, b.anchor.y, b.anchor.z, b.slack)
 
-            partner, pair_ok, overflow, ax, ay, az = jax.lax.cond(
+            partner, pair_ok, overflow, ax, ay, az, bslack = jax.lax.cond(
                 need, rebuild, reuse, None)
             new_bp = BpCache(partner=partner, ok=pair_ok,
-                             anchor=Vec3(ax, ay, az), overflow=overflow)
+                             anchor=Vec3(ax, ay, az), overflow=overflow,
+                             count=world.bp.count + 1, slack=bslack)
+            # staleness observability: actual drift from the build anchor
+            # beyond the per-body slack the cache was built with (> 0 =
+            # some body outran the cache; candidates may be missed).
+            # Zero on rebuild steps (the anchor is fresh).
+            bp_drift_excess = jnp.where(need, 0.0, jnp.maximum(jnp.max(
+                jnp.where(alive, jnp.sqrt(drift2) - bslack, 0.0)), 0.0))
             bp_rebuilt = need
         else:
             partner, pair_ok, overflow = build_pairs(bounds)
             bp_rebuilt = jnp.bool_(True)
+            bp_drift_excess = jnp.float32(0.0)
     elif cfg.use_grid:
         table = broadphase.build_grid(bounds.c, cfg.grid, valid=alive)
         cand = broadphase.neighbor_candidates(bounds.c, table, cfg.grid)
@@ -646,12 +721,14 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = table.overflow
         bp_rebuilt = jnp.bool_(True)
+        bp_drift_excess = jnp.float32(0.0)
     else:
         cand = broadphase.all_pairs_candidates(n)
         partner, pair_ok = broadphase.refine_pairs(
             bounds, cand, cfg.max_pairs, ordered=not rows_form)
         overflow = jnp.int32(0)
         bp_rebuilt = jnp.bool_(True)
+        bp_drift_excess = jnp.float32(0.0)
 
     if cfg.stable_pairs:
         # canonical slot order: sort each body's partner list by index
@@ -1167,6 +1244,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         sv_in = ((state.v, state.omega, state.inv_mass) if fused
                  else (bodies_ext.v, bodies_ext.omega, bodies_ext.inv_mass))
         ngr = n_pair_rows if fused else None
+        # fused Pallas inner sweeps: only on the iso scalar-inertia path
+        # with the single-phase textbook sweep the kernel implements
+        use_pk = (cfg.pallas_solver and fused and not cfg.two_phase
+                  and cfg.friction_mode == "textbook")
         warm_hit_frac = jnp.float32(0.0)
         if cfg.warm_start:
             # NOTE: pt0 is NOT passed here — the warm pre-apply moves
@@ -1179,7 +1260,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                     rc, sv_in[0], sv_in[1], sv_in[2],
                     solver_inertia, it, cfg.friction_mode,
                     cfg.two_phase, inner, warm=warm,
-                    return_acc=True, n_gather_rows=ngr)
+                    return_acc=True, n_gather_rows=ngr,
+                    pallas_inner=use_pk)
 
             if matched is not None:
                 warm_hit_frac = (
@@ -1212,7 +1294,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                   solver_inertia,
                                   cfg.solver_iters, cfg.friction_mode,
                                   cfg.two_phase, cfg.solver_inner,
-                                  partner_term0=pt0, n_gather_rows=ngr)
+                                  partner_term0=pt0, n_gather_rows=ngr,
+                                  pallas_inner=use_pk)
             new_warm = world.warm
         num_contacts = jnp.sum(rc.valid)
         num_constraints = rc.valid.size
@@ -1267,6 +1350,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         "broadphase_span_excess": span_excess,
         "terrain_reach_excess": t_reach_excess,
         "broadphase_rebuilt": bp_rebuilt,
+        "broadphase_cache_drift_excess": bp_drift_excess,
         "num_pairs": jnp.sum(pair_valid),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
