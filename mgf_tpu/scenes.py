@@ -223,8 +223,16 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # per-axis dims: the pile is FLAT — y occupies ~2 + 12*1.25 + bounce
         # << the x/z span, so y gets 32 cells (51.2 modulus) and the table
         # (and its build scatter) shrinks 4x.  span_excess watches aliasing.
+        # r4: "fat27x4" — width-4 fat grid rows + the FULL 27-cell window
+        # (guarantee = cell_size 1.6 >= the mixed pair reach ~1.55:
+        # capsule swept fat radius 0.75 + sphere 0.52 + margins).  The
+        # packed broadphase paid a (N, 27*cap, 4) refine gather (~21.6M
+        # indices ~= 100 ms at 100k — the r3 mixed bottleneck); the fat
+        # grid carries coordinates inline so the cull needs NO
+        # per-candidate gather.  sel8 ("fat8x4") is out: its guarantee is
+        # cell/2 and capsule reach exceeds it at any usable cell size.
         grid = GridConfig(cell_size=1.6, dim=(128, 32, 128), bucket_cap=8)
-        bp, K, rows, cand = "packed", 12, 16, 4
+        bp, K, rows, cand = "fat27x4", 12, 16, 4
         n_sph = int(np.sum(~caps))
     else:
         # grid modulus (dim * cell) must exceed the box span (2 * wall)
@@ -281,9 +289,18 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # broadphase rebuild cadence (r3): once settled (the gate engages
         # only while every body's slacked reach fits the bucket-window
         # guarantee) the grid build + cull + top-k run every other step;
-        # transients rebuild every step automatically.  fat8x4 only —
-        # the mixed path's packed broadphase has no cache.
-        bp_every=1 if mixed else 2,
+        # transients rebuild every step automatically.  r4: the mixed
+        # config's fat27x4 grid supports the cache too (full-window
+        # guarantee 1.6 leaves ~0.03 of per-body slack budget for settled
+        # capsules — enough for the settled cadence, and the n_clamped
+        # gate rebuilds every step during transients).
+        bp_every=2,
+        # r4: capsule flank stacks rock on the reference's single
+        # interval-midpoint contact (pen ~0.54 at 100k mixed) — the
+        # "ends" extension emits the overlap interval's two endpoints
+        # into the two manifold slots (collision.py:413-514, documented
+        # divergence; parity-gated vs the oracle in test_oracle.py)
+        cap_manifold="ends" if mixed else "mid",
         fused_iso=not mixed)
     from mgf_tpu.world import init_bp_cache, init_warm
     world = init_warm(world, cfg)

@@ -215,6 +215,10 @@ class BpCache(NamedTuple):
     overflow: jnp.ndarray  # () int32 from the build
     count: jnp.ndarray     # () int32 steps since init (cfg.bp_every cadence)
     slack: jnp.ndarray     # (N,) float32 per-body extra fat at build time
+    r_build: jnp.ndarray = None  # (N,) float32 swept fat radius at build
+                                 # time (staleness accounting: a body whose
+                                 # CURRENT reach grew past its build reach
+                                 # consumes slack even without drifting)
 
 
 class SolverWarm(NamedTuple):
@@ -267,7 +271,8 @@ def init_bp_cache(world: World, cfg: WorldConfig) -> World:
                     jnp.full((n,), 1.0e9)),
         overflow=jnp.int32(0),
         count=jnp.int32(0),
-        slack=jnp.zeros((n,), jnp.float32)))
+        slack=jnp.zeros((n,), jnp.float32),
+        r_build=jnp.zeros((n,), jnp.float32)))
 
 
 def init_warm(world: World, cfg: WorldConfig) -> World:
@@ -376,6 +381,39 @@ def pack_shapes(sv: ShapeView) -> PackedShapes:
                     sv.shape_r, sv.shape_half_h], axis=-1)
     q4 = jnp.stack([sv.q.w, sv.q.x, sv.q.y, sv.q.z], axis=-1)
     return PackedShapes(p8=p8, q4=q4, shape_type=sv.shape_type)
+
+
+def self_shapes(cfg: WorldConfig, sv: ShapeView, width: int,
+                flat: bool = False) -> GatheredShapes:
+    """The SELF side of a slot-major pair batch without any gather: every
+    slot row reads the same (N,) body arrays, so a [None, :] broadcast
+    (or broadcast+reshape for the flat (K*N,) layout) replaces the
+    p8[iota] gather — the iota indices are a real gathered fetch on TPU
+    (~5-11 ns per index) that XLA does not fold away."""
+    from mgf_tpu.math3d import qrotate
+    if flat:
+        exp = lambda a: jnp.broadcast_to(
+            a[None, :], (width, a.shape[0])).reshape(-1)
+    else:
+        exp = lambda a: a[None, :]
+    x = Vec3(exp(sv.x.x), exp(sv.x.y), exp(sv.x.z))
+    delta = Vec3(exp(sv.delta.x), exp(sv.delta.y), exp(sv.delta.z))
+    r = exp(sv.shape_r)
+    sphere = Sphere(c=x, r=r)
+    if cfg.shape_mode == "spheres":
+        z = r * 0
+        capsule = Capsule(a=x, d=Vec3(z, z, z), r=r)
+        stype = jnp.zeros_like(r, dtype=sv.shape_type.dtype)
+    else:
+        hh = exp(sv.shape_half_h)
+        zero = jnp.zeros_like(hh)
+        q = Quat(exp(sv.q.w), exp(sv.q.x), exp(sv.q.y), exp(sv.q.z))
+        d_half = qrotate(q, Vec3(zero, hh, zero))
+        capsule = Capsule(a=x - d_half, d=d_half * 2.0, r=r)
+        stype = (exp(sv.shape_type) if cfg.shape_mode == "mixed"
+                 else jnp.ones_like(r, dtype=sv.shape_type.dtype))
+    return GatheredShapes(x=x, delta=delta, sphere=sphere, capsule=capsule,
+                          shape_type=stype)
 
 
 def gather_shapes(cfg: WorldConfig, ps: PackedShapes, idx) -> GatheredShapes:
@@ -611,6 +649,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         top2sum = jnp.float32(0.0)
     guarantee = (cfg.grid.cell_size
                  * (0.5 if cfg.broadphase in ("fat8", "fat8x4") else 1.0))
+    fat_modes = ("fat", "fat8", "fat8x4", "fat27x4")
     reach_excess = (jnp.maximum(top2sum - guarantee, 0.0)
                     if cfg.use_grid else jnp.float32(0.0))
     # modulus-aliasing observability: if the scene span exceeds the grid
@@ -628,19 +667,20 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     if cfg.profile_stage == "integrate":
         return world, {"probe": jnp.sum(bounds.c.x)}
     new_bp = world.bp
-    if cfg.use_grid and cfg.broadphase in ("fat", "fat8", "fat8x4"):
+    if cfg.use_grid and cfg.broadphase in fat_modes:
         use_cache = ((cfg.bp_margin > 0.0 or cfg.bp_every > 1)
                      and world.bp is not None)
 
         def build_pairs(bnds):
             grid = broadphase.build_fat_grid(
                 bnds, cfg.grid,
-                width=4 if cfg.broadphase == "fat8x4" else 8,
+                width=4 if cfg.broadphase in ("fat8x4", "fat27x4") else 8,
                 valid=alive)
             partner, pair_ok = broadphase.fat_grid_pairs(
                 bnds, grid, cfg.grid, cfg.max_pairs,
                 ordered=not rows_form,
-                window="27" if cfg.broadphase == "fat" else "sel8")
+                window=("sel8" if cfg.broadphase in ("fat8", "fat8x4")
+                        else "27"))
             return partner, pair_ok, grid.overflow
 
         if use_cache:
@@ -655,21 +695,29 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 # inflates the body's reach, and the bucket-window
                 # guarantee (pair reach <= guarantee) must not degrade
                 # below the ungated build's.  So slack is CLAMPED per
-                # body to the window budget: settled bodies (tiny delta)
-                # get full coverage, fast bodies get none — their NEW
-                # pairs can appear one step late on reuse steps (the
-                # reference's fat-proxy margin has the same character,
-                # world.rs:181/233-238).  If more than a handful of
-                # bodies are clamped (a transient, not a few strays) the
-                # cadence disengages and every step rebuilds.
+                # body to the window budget.  The cache is then kept
+                # EXACTLY conservative by a staleness trigger (r4): a
+                # reuse step is taken only while every live body's actual
+                # drift from its build anchor — plus any growth of its
+                # swept reach since the build — still fits the slack it
+                # was built with.  Any body outrunning its slack forces a
+                # rebuild THIS step (before the stale candidates would be
+                # used), so reuse steps never miss pairs; transients
+                # (collapse, fast movers) degrade gracefully to
+                # rebuild-every-step with no worst-case counting gate.
+                # (r3 gated on a worst-case n_clamped>32 count instead,
+                # which tripped on settled jigglers and pinned the
+                # cadence at 2.)
                 dmag = jnp.sqrt(magnitude2(state.delta))
                 desired = ((cfg.bp_every - 1)
                            * (2.0 * dmag + 0.02)).astype(jnp.float32)
                 budget = jnp.maximum(0.5 * guarantee - r_eff, 0.0)
                 slack = jnp.minimum(desired, budget)
-                n_clamped = jnp.sum((desired > budget) & alive)
-                need = (((world.bp.count % cfg.bp_every) == 0)
-                        | (n_clamped > 32))
+                r_grow = jnp.maximum(r_eff - world.bp.r_build, 0.0)
+                stale = jnp.max(jnp.where(
+                    alive, jnp.sqrt(drift2) + r_grow - world.bp.slack,
+                    0.0)) > 0.0
+                need = (((world.bp.count % cfg.bp_every) == 0) | stale)
                 if cfg.bp_margin > 0.0:   # drift safety net composes
                     need = need | (jnp.max(drift2)
                                    > (0.5 * cfg.bp_margin) ** 2)
@@ -691,18 +739,20 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
 
             def rebuild(_):
                 p, ok, of = build_pairs(fat_bounds)
-                return (p, ok, of, x_end.x, x_end.y, x_end.z, slack)
+                return (p, ok, of, x_end.x, x_end.y, x_end.z, slack, r_eff)
 
             def reuse(_):
                 b = world.bp
                 return (b.partner, b.ok, b.overflow,
-                        b.anchor.x, b.anchor.y, b.anchor.z, b.slack)
+                        b.anchor.x, b.anchor.y, b.anchor.z, b.slack,
+                        b.r_build)
 
-            partner, pair_ok, overflow, ax, ay, az, bslack = jax.lax.cond(
-                need, rebuild, reuse, None)
+            (partner, pair_ok, overflow, ax, ay, az, bslack,
+             rbuild) = jax.lax.cond(need, rebuild, reuse, None)
             new_bp = BpCache(partner=partner, ok=pair_ok,
                              anchor=Vec3(ax, ay, az), overflow=overflow,
-                             count=world.bp.count + 1, slack=bslack)
+                             count=world.bp.count + 1, slack=bslack,
+                             r_build=rbuild)
             # staleness observability: actual drift from the build anchor
             # beyond the per-body slack the cache was built with (> 0 =
             # some body outran the cache; candidates may be missed).
@@ -818,15 +868,13 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     elif split_mixed:
         pair_valid = pair_ok_t                    # (K, N)
         ps = pack_shapes(sv)
-        rows2 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
-                                 (K, n))
-        ga = gather_shapes(cfg, ps, rows2)
+        ga = self_shapes(cfg, sv, K)              # broadcast, no gather
         gb = gather_shapes(cfg, ps, cols2)
         pc = _pair_contact_split(cfg, ga, gb, cfg.n_sphere_rows)
     else:
         pair_valid = pair_ok_t.reshape(-1)
         ps = pack_shapes(sv)
-        ga = gather_shapes(cfg, ps, rows)
+        ga = self_shapes(cfg, sv, K, flat=True)   # broadcast, no gather
         gb = gather_shapes(cfg, ps, cols)
         if cfg.pallas_narrowphase and cfg.shape_mode == "spheres":
             from mgf_tpu.ops import sphere_contact_pairs
@@ -1009,10 +1057,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         if fused:
             gt = ga
         elif split_mixed:
-            gt = gather_shapes(cfg, ps, jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[None, :], (t_width, n)))
+            gt = self_shapes(cfg, sv, t_width)
         else:
-            gt = gather_shapes(cfg, ps, t_rows)
+            gt = self_shapes(cfg, sv, t_width, flat=True)
         tc = (_terrain_contact_split(cfg, gt, tri, cfg.n_sphere_rows)
               if split_mixed else _terrain_contact(cfg, gt, tri))
         if t_valid is not None:

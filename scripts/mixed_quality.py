@@ -48,7 +48,8 @@ def main():
     args = ap.parse_args()
 
     world, cfg = stress_scene(args.bodies, mixed=True)
-    probe("mid (reference single-midpoint)", cfg, world, args.steps)
+    probe("mid (reference single-midpoint)",
+          cfg._replace(cap_manifold="mid"), world, args.steps)
     probe("ends (endpoint-pair extension)",
           cfg._replace(cap_manifold="ends"), world, args.steps)
 

@@ -112,6 +112,53 @@ def main():
             ("3x5 cand2", base_cfg._replace(
                 solver_iters=3, solver_inner=5, terrain_cand=2)),
         ],
+        # r4c: row-major solver gather (solve_rows partner_term)
+        "s": [
+            ("bp2 rowmajor", base_cfg),
+            ("bp4 rowmajor", base_cfg._replace(bp_every=4)),
+            ("bp4 + pallas", base_cfg._replace(bp_every=4,
+                                               pallas_solver=True)),
+            ("bp4 + pos match", base_cfg._replace(bp_every=4,
+                                                  warm_match="pos")),
+            ("bp4 + pos + pallas", base_cfg._replace(
+                bp_every=4, warm_match="pos", pallas_solver=True)),
+            ("bp6 + pos", base_cfg._replace(bp_every=6,
+                                            warm_match="pos")),
+            ("bp4 + pos + K8", base_cfg._replace(
+                bp_every=4, warm_match="pos", max_pairs=8)),
+            ("bp4 + pos + 3x4", base_cfg._replace(
+                bp_every=4, warm_match="pos",
+                adapt_schedule=(0.97, 3, 4))),
+        ],
+        # r4b: staleness-gated bp cadence + 1-outer adaptive schedules
+        "q": [
+            ("base r4 (bp2, adapt 2x6)", base_cfg),
+            ("bp3 stale-gate", base_cfg._replace(bp_every=3)),
+            ("bp4 stale-gate", base_cfg._replace(bp_every=4)),
+            ("bp3 + pallas + adapt 1x8", base_cfg._replace(
+                bp_every=3, pallas_solver=True,
+                adapt_schedule=(0.97, 1, 8))),
+            ("bp3 + pallas + adapt 1x12", base_cfg._replace(
+                bp_every=3, pallas_solver=True,
+                adapt_schedule=(0.97, 1, 12))),
+            ("bp4 + pallas + adapt 1x10", base_cfg._replace(
+                bp_every=4, pallas_solver=True,
+                adapt_schedule=(0.97, 1, 10))),
+            ("bp3 + pallas + adapt 2x6", base_cfg._replace(
+                bp_every=3, pallas_solver=True)),
+        ],
+        # r4: the fused Pallas solver-sweep kernel + bp cadence
+        "p": [
+            ("base r4 (bp2, adapt 2x6)", base_cfg),
+            ("pallas solver", base_cfg._replace(pallas_solver=True)),
+            ("bp3", base_cfg._replace(bp_every=3)),
+            ("bp3 + pallas", base_cfg._replace(bp_every=3,
+                                               pallas_solver=True)),
+            ("bp4 + pallas", base_cfg._replace(bp_every=4,
+                                               pallas_solver=True)),
+            ("pallas + adapt 2x8", base_cfg._replace(
+                pallas_solver=True, adapt_schedule=(0.97, 2, 8))),
+        ],
         # r3 (fused_iso base): bucket cap / solver schedule / K
         "g": [
             ("base cap24 4x4 K9", base_cfg),

@@ -1,0 +1,157 @@
+"""Direct tests for the r3 step-pipeline machinery (VERDICT r3 item 5):
+
+* bp_every broadphase rebuild cadence — reuse-step trajectory parity on a
+  settled pile, cadence observability, drift-excess detection for a body
+  that outruns the cache, and the transient disengage gate;
+* adapt_schedule — the lax.cond branches equal the explicit schedules on
+  both sides of the warm-hit threshold;
+* warm_match="pos" + stable_pairs — equivalent to the order-robust
+  "search" matching while the partner set is unchanged.
+
+All on the 12-layer stress pile at small N (the flagship config's own
+scene builder, so the tested flags compose exactly as the bench runs
+them).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgf_tpu.math3d import Vec3
+from mgf_tpu.scenes import stress_scene
+from mgf_tpu.world import init_bp_cache, init_warm, step
+
+N_BODIES = 800
+
+
+@pytest.fixture(scope="module")
+def settled():
+    """The small stress pile settled under the flagship config."""
+    world, cfg = stress_scene(N_BODIES)
+    f = jax.jit(functools.partial(step, cfg=cfg))
+    m = None
+    for _ in range(260):
+        world, m = f(world)
+    jax.block_until_ready(world)
+    m = jax.tree_util.tree_map(np.asarray, m)
+    assert int(m["broadphase_overflow"]) == 0
+    assert float(m["max_penetration"]) < 0.3
+    return world, cfg
+
+
+def _steps(world, cfg, n, collect=None):
+    f = jax.jit(functools.partial(step, cfg=cfg))
+    ms = []
+    for _ in range(n):
+        world, m = f(world)
+        if collect:
+            ms.append({k: np.asarray(m[k]) for k in collect})
+    jax.block_until_ready(world)
+    return world, ms
+
+
+def _pos(world):
+    b = world.bodies
+    return np.stack([np.asarray(b.x.x), np.asarray(b.x.y),
+                     np.asarray(b.x.z)], -1)
+
+
+def test_bp_every_trajectory_parity_settled(settled):
+    """On a settled pile the cached candidate list is a superset of the
+    fresh one whose extras are out of contact range — trajectories under
+    bp_every=2 must track the rebuild-every-step path to float noise."""
+    world, cfg = settled
+    w2, ms2 = _steps(world, cfg, 24,
+                     collect=["broadphase_rebuilt", "num_contacts",
+                              "broadphase_cache_drift_excess"])
+    cfg1 = cfg._replace(bp_every=1)
+    w1, ms1 = _steps(world._replace(bp=None), cfg1, 24,
+                     collect=["num_contacts"])
+    p1, p2 = _pos(w1), _pos(w2)
+    np.testing.assert_allclose(p2, p1, atol=5e-3)
+    # cadence observability: rebuilds alternate once settled
+    rebuilt = [bool(m["broadphase_rebuilt"]) for m in ms2]
+    assert 8 <= sum(rebuilt) <= 16, rebuilt
+    assert not all(rebuilt)
+    # contact sets match on reuse steps (stale candidates, exact narrowphase)
+    for m1, m2 in zip(ms1, ms2):
+        assert abs(int(m1["num_contacts"]) - int(m2["num_contacts"])) <= 2
+    # nobody outran the cache at the settled state
+    assert max(float(m["broadphase_cache_drift_excess"]) for m in ms2) == 0.0
+
+
+def test_bp_every_drift_excess_detects_fast_mover(settled):
+    """A body accelerated beyond the per-body slack budget must surface in
+    broadphase_cache_drift_excess on reuse steps (the candidate-staleness
+    alarm)."""
+    world, cfg = settled
+    b = world.bodies
+    # launch one body sideways at 60 m/s (delta/step = 1.0 >> slack budget)
+    vx = b.v.x.at[0].set(60.0)
+    fast = world._replace(bodies=b._replace(v=b.v._replace(x=vx)))
+    _, ms = _steps(fast, cfg, 4,
+                   collect=["broadphase_rebuilt",
+                            "broadphase_cache_drift_excess"])
+    reuse = [m for m in ms if not bool(m["broadphase_rebuilt"])]
+    assert reuse, "cadence never produced a reuse step"
+    assert max(float(m["broadphase_cache_drift_excess"])
+               for m in reuse) > 0.3
+
+
+def test_bp_every_transient_disengages_cadence(settled):
+    """More than a handful of slack-clamped fast bodies must disengage the
+    cadence entirely (every step rebuilds) — the transient safety gate."""
+    world, cfg = settled
+    b = world.bodies
+    idx = jnp.arange(48)
+    vx = b.v.x.at[idx].set(60.0)
+    fast = world._replace(bodies=b._replace(v=b.v._replace(x=vx)))
+    _, ms = _steps(fast, cfg, 4, collect=["broadphase_rebuilt"])
+    assert all(bool(m["broadphase_rebuilt"]) for m in ms)
+
+
+def test_adapt_schedule_engages_on_settled(settled):
+    """At the settled state warm_hit_frac >= the trigger, so the adaptive
+    config must produce exactly the cheap schedule's output."""
+    world, cfg = settled
+    thr, it2, in2 = cfg.adapt_schedule
+    w_ad, ms = _steps(world, cfg, 3, collect=["warm_hit_frac"])
+    assert min(float(m["warm_hit_frac"]) for m in ms) >= thr
+    cheap = cfg._replace(adapt_schedule=None, solver_iters=int(it2),
+                         solver_inner=int(in2))
+    w_ch, _ = _steps(world, cheap, 3)
+    np.testing.assert_allclose(_pos(w_ad), _pos(w_ch), atol=1e-6)
+    # and it must NOT equal the full schedule's output (the cond is real)
+    full = cfg._replace(adapt_schedule=None)
+    w_fu, _ = _steps(world, full, 3)
+    assert np.abs(np.asarray(w_ad.bodies.v.x)
+                  - np.asarray(w_fu.bodies.v.x)).max() > 0.0
+
+
+def test_adapt_schedule_full_during_transient():
+    """A fresh drop has no warm rows (hit fraction 0): the adaptive config
+    must run the FULL schedule."""
+    world, cfg = stress_scene(N_BODIES)
+    w_ad, ms = _steps(world, cfg, 6, collect=["warm_hit_frac"])
+    thr = cfg.adapt_schedule[0]
+    assert all(float(m["warm_hit_frac"]) < thr for m in ms)
+    full = cfg._replace(adapt_schedule=None)
+    w_fu, _ = _steps(world, full, 6)
+    np.testing.assert_allclose(_pos(w_ad), _pos(w_fu), atol=1e-6)
+
+
+def test_warm_match_pos_equals_search_settled(settled):
+    """With stable_pairs, slots are deterministic while the partner set is
+    unchanged, so positional warm matching recovers the same accumulators
+    as the full key search — settled trajectories must agree."""
+    world, cfg = settled
+    assert cfg.stable_pairs
+    w_se, ms_se = _steps(world, cfg, 16, collect=["warm_hit_frac"])
+    w_po, ms_po = _steps(world, cfg._replace(warm_match="pos"), 16,
+                         collect=["warm_hit_frac"])
+    np.testing.assert_allclose(_pos(w_po), _pos(w_se), atol=5e-3)
+    # positional matching must actually hit at the settled state
+    assert float(ms_po[-1]["warm_hit_frac"]) > 0.9
