@@ -157,21 +157,23 @@ def build_fat_grid(bounds: AABB, cfg: GridConfig, width: int = 8,
         # the reader's per-component slices are lane-contiguous (cap-wide)
         # instead of stride-4 scalar picks — the cull then runs as 8
         # (N, cap) vector ops rather than 8*cap scalar-slot rounds.
+        # r4: ONE (N, 4)-row scatter into slot-major (ncell*cap, 4) then a
+        # layout transpose to component-blocked — the four per-component
+        # scatters were most of the 13 ms build at 100k (scatter cost is
+        # per index; the 25 MB transpose is bandwidth noise).
         cap = cfg.bucket_cap
         ncell = grid_ncells(cfg)
-        empty = jnp.concatenate(
-            [jnp.zeros((3 * cap,), jnp.float32),
-             jnp.full((cap,), -1.0, jnp.float32)])
-        table = jnp.broadcast_to(empty, (ncell, 4 * cap)).reshape(-1)
-        r = jnp.minimum(rank, cap - 1)
-        base = sorted_h * (4 * cap) + r
-        oob = ncell * 4 * cap
-        comps = [centers.x[order], centers.y[order], centers.z[order],
-                 order.astype(jnp.float32) + 0.5]
-        for k, vals in enumerate(comps):
-            table = table.at[jnp.where(ok, base + k * cap, oob)].set(
-                vals, mode='drop')
-        table = table.reshape(ncell, 4 * cap)
+        rows4 = jnp.stack([centers.x[order], centers.y[order],
+                           centers.z[order],
+                           order.astype(jnp.float32) + 0.5], axis=-1)
+        empty4 = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, -1.0], jnp.float32),
+            (ncell * cap, 4))
+        slot = sorted_h * cap + jnp.minimum(rank, cap - 1)
+        table4 = empty4.at[jnp.where(ok, slot, ncell * cap)].set(
+            rows4, mode='drop')
+        table = (table4.reshape(ncell, cap, 4)
+                 .transpose(0, 2, 1).reshape(ncell, 4 * cap))
         return FatGrid(table=table, overflow=n_over,
                        width=width, r_max=jnp.max(r_eff))
     rows = jnp.stack([centers.x[order], centers.y[order],

@@ -33,7 +33,7 @@ from mgf_tpu.geom import (
     rectangle_vertices, segment_of_capsule, triangle_vertices,
 )
 from mgf_tpu.math3d import (
-    COLLISION_EPSILON, Vec3, cross, dot, magnitude, magnitude2, qconj,
+    COLLISION_EPSILON, Quat, Vec3, cross, dot, magnitude, magnitude2, qconj,
     qrotate, quat_from_arc, safe_div, safe_normalize, safe_sqrt, vabs, vec3,
     vzeros_like, where_vec,
 )
@@ -637,34 +637,46 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
     sax, say = sa3.x, sa3.y
     sbx, sby = sb3.x, sb3.y
 
-    edge2d = []
-    for (ia, ib) in edges:
-        ea = qrotate(plane_rot, verts[ia] - pn_d)
-        eb = qrotate(plane_rot, verts[ib] - pn_d)
-        edge2d.append((ea.x, ea.y, eb.x, eb.y))
+    # EDGE BATCHING (r4): every per-edge loop below evaluates its geometry
+    # on a stacked (E, *batch) leading axis in ONE instantiation — the
+    # unrolled per-edge form instantiated each intersect/rotate/contact
+    # subgraph nverts times and dominated the step's XLA compile time
+    # (measured 253 s of the mixed step's CPU compile in the terrain
+    # stage alone).  Selection folds (which are order-dependent) stay as
+    # tiny python loops over cheap where-ops on the batched results.
+    stack1 = lambda xs: jnp.stack(xs, axis=0)
+    stackv = lambda vs: Vec3(stack1([p.x for p in vs]),
+                             stack1([p.y for p in vs]),
+                             stack1([p.z for p in vs]))
+    bb = lambda g: g[None]                      # broadcast batch -> (1, batch)
+    bv = lambda p: Vec3(p.x[None], p.y[None], p.z[None])
+    ea_s = stackv([verts[ia] for (ia, ib) in edges])   # (E, *batch)
+    eb_s = stackv([verts[ib] for (ia, ib) in edges])
+    nedges = len(edges)
+
+    rotq = Quat(bb(plane_rot.w), bb(plane_rot.x), bb(plane_rot.y),
+                bb(plane_rot.z))
+    e2a = qrotate(rotq, ea_s - bv(pn_d))
+    e2b = qrotate(rotq, eb_s - bv(pn_d))
 
     seed_par = jnp.abs(dot(seed_dir, plane.n)) < COLLISION_EPSILON
     seed_on_face = seed_valid & (checked | contains_fn(seed.a))
 
+    # stage 2a + 3: silhouette/edge 2-D intersections, batched over edges
+    tt_e, hh_e = _seg_2d_intersect(bb(sax), bb(say), bb(sbx), bb(sby),
+                                   e2a.x, e2a.y, e2b.x, e2b.y)
+
     # stage 2a: on-face seed second contact at t_max (collision.rs:797-840)
-    t_max_a = jnp.zeros(batch)
-    for (eax, eay, ebx, eby) in edge2d:
-        tt, hh = _seg_2d_intersect(sax, say, sbx, sby, eax, eay, ebx, eby)
-        t_max_a = jnp.where(hh & (t_max_a < tt), tt, t_max_a)
+    t_max_a = jnp.max(jnp.where(hh_e, tt_e, 0.0), axis=0)
     t_max_a = jnp.where(t_max_a == 0.0, 1.0, t_max_a)
     q2a = seed.a + sil_v * t_max_a
     second_a = Contact(a=q2a, b=q2a, n=plane.n, t=seed.t,
                        valid=seed_on_face & seed_par)
 
     # stage 3: off-face parallel silhouette interval (collision.rs:841-889)
-    t_min_b = jnp.full(batch, _INF)
-    t_max_b = jnp.zeros(batch)
-    found_b = jnp.zeros(batch, bool)
-    for (eax, eay, ebx, eby) in edge2d:
-        tt, hh = _seg_2d_intersect(sax, say, sbx, sby, eax, eay, ebx, eby)
-        found_b = found_b | hh
-        t_min_b = jnp.where(hh & (t_min_b > tt), tt, t_min_b)
-        t_max_b = jnp.where(hh & (t_max_b < tt), tt, t_max_b)
+    found_b = jnp.any(hh_e, axis=0)
+    t_min_b = jnp.min(jnp.where(hh_e, tt_e, _INF), axis=0)
+    t_max_b = jnp.max(jnp.where(hh_e, tt_e, 0.0), axis=0)
     t_max_b = jnp.where(t_max_b == 0.0, 1.0, t_max_b)
     stage3 = seed_valid & ~seed_on_face & (seed.t > 0.0) & seed_par & found_b
     q3a = seed.a + sil_v * t_min_b
@@ -674,110 +686,119 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
     cd_mag2 = magnitude2(cap.d)
     cd_mag = magnitude(cap.d)
 
-    # 4a. parallel edges (collision.rs:901-971)
+    # 4a. parallel edges (collision.rs:901-971), geometry batched over edges
+    ab_s = eb_s - ea_s
+    ab_cd_s = dot(ab_s, bv(cap.d))
+    # ROBUSTNESS divergence: the reference classifies an edge as
+    # capsule-parallel only on EXACT f32 equality (collision.rs:907),
+    # so a nearly-parallel edge falls into the quad path whose sliver
+    # Minkowski triangles have garbage normals — measured to fabricate
+    # t=0 contacts on far walls (caught by the f64 oracle).  Classify
+    # with a relative tolerance instead.
+    is_par_e = jnp.abs(ab_cd_s) >= bb(cd_mag) * magnitude(ab_s) * (1.0
+                                                                   - 1e-6)
     par_vert = [jnp.zeros(batch, bool) for _ in range(nverts)]
+    for e, (ia, ib) in enumerate(edges):
+        par_vert[ia] = par_vert[ia] | is_par_e[e]
+        par_vert[ib] = par_vert[ib] | is_par_e[e]
+    flip = ab_cd_s < 0.0
+    e0 = where_vec(flip, eb_s, ea_s)
+    e1 = where_vec(flip, ea_s, eb_s)
+    m_edge = magnitude2(ab_s)
+
+    i1 = intersect_capsule(bv(cap.a), bv(v), _INF,
+                           Capsule(a=e0, d=e1 - e0, r=bb(cap.r)))
+    tri_p1 = closest_pt_segment(Segment(a=e0, b=e1), i1.p)
+    m_proj1 = magnitude2((tri_p1 + bv(cap.d)) - e0)
+    c_t = jnp.where(m_proj1 > m_edge,
+                    safe_div(m_proj1 - m_edge,
+                             m_proj1 - magnitude2(tri_p1 - e0)),
+                    1.0)
+    q1 = tri_p1 + bv(cap.d) * c_t
+
+    i2 = intersect_capsule(bv(cap.a), bv(v), _INF,
+                           Capsule(a=e0, d=-bv(cap.d), r=bb(cap.r)))
+    cap_t2 = safe_div(-dot(i2.p - e0, bv(cap.d)), bb(cd_mag2))
+    tri_p2 = closest_pt_segment(Segment(a=e0, b=e0 - bv(cap.d)), i2.p)
+    a2_pt = tri_p2 + bv(cap.d) * cap_t2
+    m_proj2 = magnitude2((tri_p2 + bv(cap.d)) - e0)
+    b2_pt = where_vec(m_proj2 > m_edge, e1, tri_p2 + bv(cap.d))
+
+    # per-edge candidate: i1 when it hit, else i2 (the reference considers
+    # i2 only on ~i1.hit, collision.rs:933); selection fold preserves the
+    # sequential last-wins-on-tie update order
+    cand_v = is_par_e & (i1.hit | (~i1.hit & i2.hit))
+    cand_t = jnp.where(i1.hit, i1.t, i2.t)
+    cand_a = where_vec(i1.hit, tri_p1, a2_pt)
+    cand_b = where_vec(i1.hit, q1, b2_pt)
+
     best_par_t = jnp.full(batch, _INF)
     best_par_a = zero3
     best_par_b = zero3
-    for (ia, ib) in edges:
-        ea = verts[ia]
-        eb = verts[ib]
-        ab = eb - ea
-        ab_cd = dot(ab, cap.d)
-        # ROBUSTNESS divergence: the reference classifies an edge as
-        # capsule-parallel only on EXACT f32 equality (collision.rs:907),
-        # so a nearly-parallel edge falls into the quad path whose sliver
-        # Minkowski triangles have garbage normals — measured to fabricate
-        # t=0 contacts on far walls (caught by the f64 oracle).  Classify
-        # with a relative tolerance instead.
-        is_par = jnp.abs(ab_cd) >= cd_mag * magnitude(ab) * (1.0 - 1e-6)
-        par_vert[ia] = par_vert[ia] | is_par
-        par_vert[ib] = par_vert[ib] | is_par
-        flip = ab_cd < 0.0
-        e0 = where_vec(flip, eb, ea)
-        e1 = where_vec(flip, ea, eb)
-        m_edge = magnitude2(ab)
+    sel_e = lambda t, e: jax.tree_util.tree_map(lambda g: g[e], t)
+    for e in range(nedges):
+        upd = cand_v[e] & ~(cand_t[e] > jnp.minimum(best_par_t, 1.0))
+        best_par_a = where_vec(upd, sel_e(cand_a, e), best_par_a)
+        best_par_b = where_vec(upd, sel_e(cand_b, e), best_par_b)
+        best_par_t = jnp.where(upd, cand_t[e], best_par_t)
 
-        i1 = intersect_capsule(cap.a, v, _INF,
-                               Capsule(a=e0, d=e1 - e0, r=cap.r))
-        i1_ok = is_par & i1.hit & ~(i1.t > jnp.minimum(best_par_t, 1.0))
-        tri_p1 = closest_pt_segment(Segment(a=e0, b=e1), i1.p)
-        m_proj1 = magnitude2((tri_p1 + cap.d) - e0)
-        c_t = jnp.where(m_proj1 > m_edge,
-                        safe_div(m_proj1 - m_edge,
-                                 m_proj1 - magnitude2(tri_p1 - e0)),
-                        1.0)
-        q1 = tri_p1 + cap.d * c_t
+    # 4b. non-parallel edge quads + vertex capsules (collision.rs:972-1060),
+    # geometry batched over edges; the ordered candidate fold stays exact
+    a_par_e = stack1([par_vert[ia] for (ia, ib) in edges])
+    b_par_e = stack1([par_vert[ib] for (ia, ib) in edges])
 
-        i2 = intersect_capsule(cap.a, v, _INF,
-                               Capsule(a=e0, d=-cap.d, r=cap.r))
-        i2_ok = (is_par & ~i1.hit & i2.hit
-                 & ~(i2.t > jnp.minimum(best_par_t, 1.0)))
-        cap_t = safe_div(-dot(i2.p - e0, cap.d), cd_mag2)
-        tri_p2 = closest_pt_segment(Segment(a=e0, b=e0 - cap.d), i2.p)
-        a2_pt = tri_p2 + cap.d * cap_t
-        m_proj2 = magnitude2((tri_p2 + cap.d) - e0)
-        b2_pt = where_vec(m_proj2 > m_edge, e1, tri_p2 + cap.d)
+    tri0 = Triangle(a=ea_s - bv(cap.d), b=ea_s, c=eb_s)
+    tri1 = Triangle(a=ea_s - bv(cap.d), b=eb_s, c=eb_s - bv(cap.d))
+    p2 = plane_from_triangle(tri1)
+    pcs = contact_plane_moving_sphere(p2, Sphere(c=bv(cap.a), r=bb(cap.r)),
+                                      bv(v))
+    # a sliver quad (edge nearly parallel to the axis but below the
+    # is_par tolerance) has a noise normal — skip its face test and
+    # fall through to the robust edge/vertex capsule raycasts
+    quad_ok = (magnitude2(cross(bv(cap.d), ab_s))
+               > 1e-10 * bb(cd_mag2) * magnitude2(ab_s))
+    gate_e = pcs.valid & ~(a_par_e & b_par_e) & quad_ok
+    on_quad_cont = (contains_triangle_pt(tri0, pcs.a)
+                    | contains_triangle_pt(tri1, pcs.b))
+    cap_t4 = safe_div(-dot(pcs.a - ea_s, bv(cap.d)), bb(cd_mag2))
+    q_quad = pcs.a + bv(cap.d) * cap_t4
 
-        upd1 = i1_ok
-        upd2 = i2_ok & ~i1_ok
-        best_par_a = where_vec(upd1, tri_p1,
-                               where_vec(upd2, a2_pt, best_par_a))
-        best_par_b = where_vec(upd1, q1, where_vec(upd2, b2_pt, best_par_b))
-        best_par_t = jnp.where(upd1, i1.t, jnp.where(upd2, i2.t, best_par_t))
+    ib_ = intersect_capsule(bv(cap.a), bv(v), _INF,
+                            Capsule(a=ea_s, d=ab_s, r=bb(cap.r)))
+    qb = closest_pt_segment(Segment(a=ea_s, b=eb_s), ib_.p)
+    it_ = intersect_capsule(bv(cap.a), bv(v), _INF,
+                            Capsule(a=ea_s - bv(cap.d), d=ab_s,
+                                    r=bb(cap.r)))
+    qt = closest_pt_segment(Segment(a=ea_s, b=eb_s), it_.p + bv(cap.d))
+    iva = intersect_capsule(bv(cap.a), bv(v), _INF,
+                            Capsule(a=ea_s, d=-bv(cap.d), r=bb(cap.r)))
+    ivb = intersect_capsule(bv(cap.a), bv(v), _INF,
+                            Capsule(a=eb_s, d=-bv(cap.d), r=bb(cap.r)))
 
-    # 4b. non-parallel edge quads + vertex capsules (collision.rs:972-1060)
     best_sum_t = jnp.full(batch, _INF)
     best_sum_p = zero3
-    for (ia, ib) in edges:
-        ea = verts[ia]
-        eb = verts[ib]
-        a_par = par_vert[ia]
-        b_par = par_vert[ib]
-        skip = a_par & b_par
-
-        tri0 = Triangle(a=ea - cap.d, b=ea, c=eb)
-        tri1 = Triangle(a=ea - cap.d, b=eb, c=eb - cap.d)
-        p2 = plane_from_triangle(tri1)
-        pcs = contact_plane_moving_sphere(p2, Sphere(c=cap.a, r=cap.r), v)
-        # a sliver quad (edge nearly parallel to the axis but below the
-        # is_par tolerance) has a noise normal — skip its face test and
-        # fall through to the robust edge/vertex capsule raycasts
-        eab = eb - ea
-        quad_ok = (magnitude2(cross(cap.d, eab))
-                   > 1e-10 * cd_mag2 * magnitude2(eab))
-        gate = pcs.valid & ~skip & quad_ok
-
-        on_quad = (gate & (best_sum_t > pcs.t)
-                   & (contains_triangle_pt(tri0, pcs.a)
-                      | contains_triangle_pt(tri1, pcs.b)))
-        cap_t = safe_div(-dot(pcs.a - ea, cap.d), cd_mag2)
-        q_quad = pcs.a + cap.d * cap_t
-        best_sum_p = where_vec(on_quad, q_quad, best_sum_p)
-        best_sum_t = jnp.where(on_quad, pcs.t, best_sum_t)
+    for e in range(nedges):
+        gate = gate_e[e]
+        on_quad = gate & (best_sum_t > pcs.t[e]) & on_quad_cont[e]
+        best_sum_p = where_vec(on_quad, sel_e(q_quad, e), best_sum_p)
+        best_sum_t = jnp.where(on_quad, pcs.t[e], best_sum_t)
 
         sub_gate = gate & ~on_quad
-        ib_ = intersect_capsule(cap.a, v, _INF,
-                                Capsule(a=ea, d=eb - ea, r=cap.r))
-        ok = sub_gate & ib_.hit & (ib_.t <= 1.0) & (ib_.t <= best_sum_t)
-        qb = closest_pt_segment(Segment(a=ea, b=eb), ib_.p)
-        best_sum_p = where_vec(ok, qb, best_sum_p)
-        best_sum_t = jnp.where(ok, ib_.t, best_sum_t)
+        ok = sub_gate & ib_.hit[e] & (ib_.t[e] <= 1.0) \
+            & (ib_.t[e] <= best_sum_t)
+        best_sum_p = where_vec(ok, sel_e(qb, e), best_sum_p)
+        best_sum_t = jnp.where(ok, ib_.t[e], best_sum_t)
 
-        it_ = intersect_capsule(cap.a, v, _INF,
-                                Capsule(a=ea - cap.d, d=eb - ea, r=cap.r))
-        ok = sub_gate & it_.hit & (it_.t <= 1.0) & (it_.t <= best_sum_t)
-        qt = closest_pt_segment(Segment(a=ea, b=eb), it_.p + cap.d)
-        best_sum_p = where_vec(ok, qt, best_sum_p)
-        best_sum_t = jnp.where(ok, it_.t, best_sum_t)
+        ok = sub_gate & it_.hit[e] & (it_.t[e] <= 1.0) \
+            & (it_.t[e] <= best_sum_t)
+        best_sum_p = where_vec(ok, sel_e(qt, e), best_sum_p)
+        best_sum_t = jnp.where(ok, it_.t[e], best_sum_t)
 
-        for vert, is_par in ((ea, a_par), (eb, b_par)):
-            iv = intersect_capsule(cap.a, v, _INF,
-                                   Capsule(a=vert, d=-cap.d, r=cap.r))
-            ok = (sub_gate & ~is_par & iv.hit & (iv.t <= 1.0)
-                  & (iv.t <= best_sum_t))
-            best_sum_p = where_vec(ok, vert, best_sum_p)
-            best_sum_t = jnp.where(ok, iv.t, best_sum_t)
+        for iv, vert_e, vpar in ((iva, ea_s, a_par_e), (ivb, eb_s, b_par_e)):
+            ok = (sub_gate & ~vpar[e] & iv.hit[e] & (iv.t[e] <= 1.0)
+                  & (iv.t[e] <= best_sum_t))
+            best_sum_p = where_vec(ok, sel_e(vert_e, e), best_sum_p)
+            best_sum_t = jnp.where(ok, iv.t[e], best_sum_t)
 
     sum_wins = best_sum_t < best_par_t
     par_found = best_par_t < _INF

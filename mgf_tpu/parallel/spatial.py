@@ -20,7 +20,7 @@ Comm per step: 2 x (H x 16 floats) + iters x 2 x (H x 8 floats), versus the
 all-gather design's 2 x (N x 12) + iters x (N x 8).
 
 The FLAGSHIP stress config runs on this path (VERDICT r2 #3): warm
-starting, the "near"/"grid" terrain culls, the fat8x4 broadphase, and
+starting, the "near"/"grid" terrain culls, the fat8x4/fat27x4 broadphase, and
 stable/deduped candidate slots are all honored.  Warm-start rows are keyed
 by GLOBAL body ids (carried inside the halo rows), so matching survives
 halo recomposition between frames; re-sharding resets the warm state (one
@@ -146,12 +146,12 @@ def _check_cfg(cfg: WorldConfig):
             "spatial step uses the jnp narrowphase; "
             "cfg.pallas_narrowphase is ignored (identical contacts)",
             stacklevel=3)
-    if cfg.warm_start and cfg.warm_match == "pos":
+    if cfg.warm_start and cfg.warm_match in ("pos", "hybrid"):
         warnings.warn(
             "spatial step matches warm rows by global-id search "
-            "(halo recomposition shifts local slots); warm_match='pos' "
-            "is upgraded to the order-robust search matching",
-            stacklevel=3)
+            "(halo recomposition shifts local slots); warm_match="
+            f"'{cfg.warm_match}' is upgraded to the order-robust search "
+            "matching", stacklevel=3)
     # cfg.fused_iso is a single-device gather-fusion layout; the spatial
     # path reproduces its SEMANTICS (previous-frame mass-splitting counts)
     # without the layout — see the counts block in _local_step.
@@ -176,7 +176,7 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
     right_perm = [(i, i + 1) for i in range(D - 1)]
     left_perm = [(i, i - 1) for i in range(1, D)]
     # broadphase window/width mapping (world.py step, same table)
-    bp_width = 4 if cfg.broadphase == "fat8x4" else 8
+    bp_width = 4 if cfg.broadphase in ("fat8x4", "fat27x4") else 8
     bp_window = "sel8" if cfg.broadphase in ("fat8", "fat8x4") else "27"
     use_warm = cfg.warm_start
 
@@ -218,31 +218,29 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             cnt_prev = jnp.ones((n_loc,), jnp.float32)
 
         # ---- pack + exchange halo rows (16 floats per body) ----
-        # layout: p8 (8: x y z dx dy dz r half_h) | q4 (4) | shape_type |
-        #         global id | cnt_prev | spare
+        # layout: p13 (x y z dx dy dz r half_h qw qx qy qz stype — the
+        #         r4 pack_shapes row) | global id | cnt_prev | spare
         sv = ShapeView(x=state.x, q=state.q, delta=state.delta,
                        shape_type=state.shape_type, shape_r=state.shape_r,
                        shape_half_h=state.shape_half_h)
         ps_own = pack_shapes(sv)
 
         def pack_halo(idx, ok):
-            p8 = jnp.where(ok[:, None], ps_own.p8[idx], 0.0)
+            p13 = jnp.where(ok[:, None], ps_own.p8[idx], 0.0)
             # park invalid halo rows far away with NEGATIVE radius: the
             # grid build masks r <= 0 rows out entirely, so a parked row
             # can never alias into an occupied bucket (ADVICE r2)
             far = 1.0e8 + jax.lax.broadcasted_iota(
                 jnp.float32, (H, 1), 0) * 100.0
-            p8 = jnp.where(ok[:, None], p8,
-                           jnp.concatenate([far] * 3 + [p8[:, 3:]], axis=1))
-            p8 = p8.at[:, 6].set(jnp.where(ok, p8[:, 6], -1.0e3))
-            q4 = jnp.where(ok[:, None], ps_own.q4[idx],
-                           jnp.asarray([[1.0, 0.0, 0.0, 0.0]]))
-            st = jnp.where(ok, ps_own.shape_type[idx], 0)
+            p13 = jnp.where(ok[:, None], p13,
+                            jnp.concatenate([far] * 3 + [p13[:, 3:]],
+                                            axis=1))
+            p13 = p13.at[:, 6].set(jnp.where(ok, p13[:, 6], -1.0e3))
+            p13 = p13.at[:, 8].set(jnp.where(ok, p13[:, 8], 1.0))  # qw
             gid = jnp.where(ok, gid_own[idx], -7)
             cnt = jnp.where(ok, cnt_prev[idx], 1.0)
             return jnp.concatenate(
-                [p8, q4, st[:, None].astype(jnp.float32),
-                 gid[:, None].astype(jnp.float32), cnt[:, None],
+                [p13, gid[:, None].astype(jnp.float32), cnt[:, None],
                  jnp.zeros((H, 1), jnp.float32)], axis=1)   # (H, 16)
 
         send_l = pack_halo(sl_idx, sl_ok)
@@ -254,16 +252,15 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
         recv_l = jax.lax.ppermute(send_r, axis, right_perm)
 
         def halo_shapes(rows16):
-            return (rows16[:, :8], rows16[:, 8:12],
+            return (rows16[:, :13],
                     rows16[:, 12].astype(jnp.int32),
                     rows16[:, 13].astype(jnp.int32),
                     rows16[:, 14])
 
-        lp8, lq4, lst, lgid, lcnt = halo_shapes(recv_l)
-        rp8, rq4, rst, rgid, rcnt = halo_shapes(recv_r)
+        lp13, lst, lgid, lcnt = halo_shapes(recv_l)
+        rp13, rst, rgid, rcnt = halo_shapes(recv_r)
         ps = type(ps_own)(
-            p8=jnp.concatenate([ps_own.p8, lp8, rp8], axis=0),
-            q4=jnp.concatenate([ps_own.q4, lq4, rq4], axis=0),
+            p8=jnp.concatenate([ps_own.p8, lp13, rp13], axis=0),
             shape_type=jnp.concatenate([ps_own.shape_type, lst, rst],
                                        axis=0))
         gids = jnp.concatenate([gid_own, lgid, rgid,

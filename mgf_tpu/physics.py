@@ -114,14 +114,22 @@ def obb_tensor(c: Vec3, q: Quat, r: Vec3, m) -> Mat3:
 # integration (physics.rs:222-269)
 # ---------------------------------------------------------------------------
 
-def integrate(state: RigidBodyState, dt) -> RigidBodyState:
+def integrate(state: RigidBodyState, dt, iso: bool = False) -> RigidBodyState:
     """One semi-implicit Euler step (physics.rs:222-253):
     q += 0.5 (0, w dt) * q (normalized); world inverse inertia R I^-1 R^T;
-    v += F m^-1 dt; w += I^-1 tau dt; collider swept by v dt."""
+    v += F m^-1 dt; w += I^-1 tau dt; collider swept by v dt.
+
+    ``iso`` (static): every body's inverse inertia is isotropic (spheres),
+    so R I^-1 R^T == I^-1 identically — skip the quat-to-matrix and two
+    3x3 products (pure algebra, bit-identical for diag-isotropic
+    inv_moment_body)."""
     omega_q = quat_from_sv(jnp.zeros_like(state.omega.x), state.omega * dt)
     q = qnormalize(state.q + qmul(omega_q, state.q) * 0.5)
-    r = quat_to_mat(q)
-    inv_moment = mat_mul(mat_mul(r, state.inv_moment_body), mat_t(r))
+    if iso:
+        inv_moment = state.inv_moment_body
+    else:
+        r = quat_to_mat(q)
+        inv_moment = mat_mul(mat_mul(r, state.inv_moment_body), mat_t(r))
     v = state.v + state.force * (state.inv_mass * dt)
     omega = state.omega + mat_vec(inv_moment, state.torque) * dt
     return state._replace(q=q, inv_moment=inv_moment, v=v, omega=omega,

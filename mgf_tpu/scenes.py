@@ -231,25 +231,38 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # grid carries coordinates inline so the cull needs NO
         # per-candidate gather.  sel8 ("fat8x4") is out: its guarantee is
         # cell/2 and capsule reach exceeds it at any usable cell size.
-        grid = GridConfig(cell_size=1.6, dim=(128, 32, 128), bucket_cap=8)
-        bp, K, rows, cand = "fat27x4", 12, 16, 4
+        # y gets 16 cells like the sphere pile (flat scene, modulus 25.6)
+        # — 32 doubled the table + its build scatter for nothing.
+        grid = GridConfig(cell_size=1.6, dim=(128, 16, 128), bucket_cap=8)
+        # NO row compaction (rows=0): the packed (R0, N, 20) top-k
+        # intermediate pads its 20-wide minor 6.4x — measured 58 ms of
+        # the 150 ms mixed step (r4 profile), the single biggest row.
+        # K=9/cand=3 keep the uncompacted row count at 2*(9+3) = 24.
+        bp, K, rows, cand = "fat27x4", 9, 0, 3
         n_sph = int(np.sum(~caps))
     else:
+        # r4: "fat27x4" — width-4 fat grid + the FULL 27-cell window at
+        # cell 1.6 / cap 10.  Same cull volume as r3's sel8 octant at
+        # cell 2.4 / cap 24 (27x10 = 270 vs 8x24 = 192 candidate slots)
+        # but the full-window guarantee equals the WHOLE cell, so the
+        # per-body slack budget for the rebuild cadence is 0.5*1.6 -
+        # r_eff ~ 0.26 instead of 0.08 — the staleness-gated cache then
+        # rebuilds every ~10 steps instead of every ~2 (measured 45.9 ->
+        # 53.7 steps/s settled; sweep set "v"/"w").
         # grid modulus (dim * cell) must exceed the box span (2 * wall)
         # or occupied cells alias and buckets overflow silently
         dim = 32
-        while dim * 2.4 < 2.0 * wall + 10.0:
+        while dim * 1.6 < 2.0 * wall + 10.0:
             dim *= 2
         # per-axis dims (r3): the pile is FLAT — y spans ~0..17 plus bounce
-        # (16 cells = 38.4 modulus covers it; span_excess watches aliasing)
-        # while x/z need `dim`.  The fat table + its build scatter shrink
-        # dim/16-fold, the dominant pairs-stage cost at 100k.
-        grid = GridConfig(cell_size=2.4, dim=(dim, 16, dim), bucket_cap=24)
+        # (16 cells = 25.6 modulus covers it; span_excess watches aliasing)
+        # while x/z need `dim`.
+        grid = GridConfig(cell_size=1.6, dim=(dim, 16, dim), bucket_cap=10)
         # R = K + terrain_cand = 12 solver rows, NO compaction: the
         # packed top-k selection's (R0, N, 20) intermediate pads its
         # 20-wide minor dim 6.4x — measured slower than just solving the
         # wider rows (and dropped rows go to 0)
-        bp, K, rows, cand = "fat8x4", 9, 0, 3
+        bp, K, rows, cand = "fat27x4", 9, 0, 3
     # warm_start (cross-frame impulse accumulators) holds the settled
     # 12-layer pile at max penetration ~0.17 where cold solves collapse
     # past 0.9 — see PERF.md
@@ -274,27 +287,31 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # collapse needs >= 4 refreshes per step; the adaptive trigger is
         # what makes the cheap schedule safe.
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
-        adapt_schedule=(0.97, 2, 6),
+        adapt_schedule=(0.97, 2, 8),
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
         terrain_bp="near", terrain_cand=cand,
         grid=grid, max_pairs=K, fatten=0.02,
         stable_pairs=True,
         n_sphere_rows=n_sph if mixed else -1,
-        # "search" warm matching with the one-hot accumulator contraction
-        # is near-free; positional ("pos") matching measured 97% hit at the
-        # settled state but loses too much warm state during the collapse
-        # transient (contacts stall at ~455k vs 635k, pen 0.5 vs 0.13)
-        warm_match="search",
-        # broadphase rebuild cadence (r3): once settled (the gate engages
-        # only while every body's slacked reach fits the bucket-window
-        # guarantee) the grid build + cull + top-k run every other step;
-        # transients rebuild every step automatically.  r4: the mixed
-        # config's fat27x4 grid supports the cache too (full-window
-        # guarantee 1.6 leaves ~0.03 of per-body slack budget for settled
-        # capsules — enough for the settled cadence, and the n_clamped
-        # gate rebuilds every step during transients).
-        bp_every=2,
+        # broadphase rebuild cadence: reuse the cached candidate list and
+        # rebuild only on the cadence OR the moment any body's drift +
+        # reach growth exceeds its build slack (exact staleness trigger,
+        # r4) — transients degrade to rebuild-every-step automatically.
+        # Spheres: the 27-window slack budget sustains a long cadence
+        # (the drift trigger fires every ~10 settled steps, so 16 vs 24
+        # is immaterial — sweep set "w").  Mixed: capsule reach leaves
+        # ~0.03 slack, cadence 2.
+        bp_every=2 if mixed else 16,
+        # hybrid warm matching (r4): positional (elementwise) on
+        # cache-reuse steps — the cached partner rows are bit-identical
+        # so pos matching is exact for pair rows — and the full
+        # quadratic search on rebuild steps
+        warm_match="hybrid",
+        # fused Pallas solver sweeps: ~+1% settled (the partner gather,
+        # not the HBM restream, is the solver's cost — PERF.md r4) and a
+        # smaller solver jaxpr; spheres iso path only
+        pallas_solver=not mixed,
         # r4: capsule flank stacks rock on the reference's single
         # interval-midpoint contact (pen ~0.54 at 100k mixed) — the
         # "ends" extension emits the overlap interval's two endpoints

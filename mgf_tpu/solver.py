@@ -363,27 +363,31 @@ def _unpack_solver_rows(A, B, C, idx):
 
 
 def build_row_constraints(bodies: BodyView, partner, manifold: Manifold,
-                          dt, counts=None, self_rows=None) -> RowConstraints:
+                          dt, counts=None, self_rows=None,
+                          col_offset: int = 0) -> RowConstraints:
     """Precompute per-slot state for the row solver.
 
     ``partner`` is (R, N) int32; ``manifold`` fields are already shaped
     (R, N) (single slot axis).  ``counts`` (M,) enables mass splitting.
     ``self_rows`` (N,) gives the global body index of each column (defaults
-    to 0..N-1); the self side is read with broadcasts, not gathers.
+    to ``col_offset .. col_offset + N``); the self side is read with
+    broadcasts, not gathers.
     """
     n = partner.shape[1]
+    lo, hi = col_offset, col_offset + n
     A, B, C = pack_solver_bodies(bodies, counts)
 
     if self_rows is None:
         # self side: plain slices broadcast over the slot axis — no gather
-        sl = lambda t: jax.tree_util.tree_map(lambda g: g[:n][None, :], t)
+        sl = lambda t: jax.tree_util.tree_map(lambda g: g[lo:hi][None, :],
+                                              t)
         xa = sl(bodies.x)
         va, oa = sl(bodies.v), sl(bodies.omega)
-        ima = bodies.inv_mass[:n][None, :]
+        ima = bodies.inv_mass[lo:hi][None, :]
         Ia = sl(bodies.inv_moment)
-        ra_ = bodies.restitution[:n][None, :]
-        fa = bodies.friction[:n][None, :]
-        sa = (counts[:n][None, :] if counts is not None else 1.0)
+        ra_ = bodies.restitution[lo:hi][None, :]
+        fa = bodies.friction[lo:hi][None, :]
+        sa = (counts[lo:hi][None, :] if counts is not None else 1.0)
     else:
         (xa, va, oa, ra_, fa, ima, sa, Ia) = _unpack_solver_rows(
             A, B, C, self_rows[None, :])
@@ -623,10 +627,17 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                friction_mode: str = "textbook", two_phase: bool = True,
                inner_iters: int = 1, warm=None, return_acc: bool = False,
                partner_term0: Vec3 = None, n_gather_rows: int = None,
-               pallas_inner: bool = False):
+               pallas_inner: bool = False, col_offset: int = 0,
+               state0=None, return_state: bool = False):
     """Scatter-free row sweeps.  ``v``/``omega``/masses cover M = N + statics
-    rows; only the first N (= rc.partner.shape[1]) bodies are updated.
+    rows; only bodies ``[col_offset, col_offset + rc.partner.shape[1])``
+    are updated (``col_offset`` supports block solves over a type-sorted
+    body range — the block's partner gathers still read GLOBAL state, so
+    sequential block solves compose as two-color Gauss-Seidel).
     Returns updated (v, omega) for all M rows (statics unchanged).
+
+    ``state0``/``return_state``: pass/return the packed (8, M) state so
+    chained block solves avoid a pack/unpack round trip.
 
     ``inner_iters`` > 1 runs block-Jacobi inner sweeps with partner
     velocities frozen between gathers (the partner-state gather is the
@@ -661,14 +672,15 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
     ``inv_moment``), single-phase, textbook friction.
     """
     n = rc.partner.shape[1]
-    S = pack_body_state(v, omega)
-    ima = inv_mass[:n]
+    lo, hi = col_offset, col_offset + n
+    S = pack_body_state(v, omega) if state0 is None else state0
+    ima = inv_mass[lo:hi]
     if isinstance(inv_moment, Mat3):
-        Ia = jax.tree_util.tree_map(lambda g: g[:n], inv_moment)
+        Ia = jax.tree_util.tree_map(lambda g: g[lo:hi], inv_moment)
         apply_I = lambda vec: mat_vec(Ia, vec)
     else:
         # isotropic scalar inverse inertia array (spheres fast path)
-        ia_s = inv_moment[:n]
+        ia_s = inv_moment[lo:hi]
         apply_I = lambda vec: vec * ia_s
 
     R_tot = rc.partner.shape[0]
@@ -697,8 +709,8 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
                     jnp.concatenate([term.z, zt], axis=0))
 
     def self_term(S):
-        va = Vec3(S[0, :n][None], S[1, :n][None], S[2, :n][None])
-        oa = Vec3(S[3, :n][None], S[4, :n][None], S[5, :n][None])
+        va = Vec3(S[0, lo:hi][None], S[1, lo:hi][None], S[2, lo:hi][None])
+        oa = Vec3(S[3, lo:hi][None], S[4, lo:hi][None], S[5, lo:hi][None])
         return va + cross(oa, rc.ra)
 
     def apply_self(S, imp: Vec3):
@@ -708,7 +720,7 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         ang_pt = -cross(rc.ra, imp)
         ang = apply_I(Vec3(ang_pt.x.sum(0), ang_pt.y.sum(0),
                            ang_pt.z.sum(0)))
-        return S.at[:6, :n].add(jnp.stack(
+        return S.at[:6, lo:hi].add(jnp.stack(
             [lin.x, lin.y, lin.z, ang.x, ang.y, ang.z], axis=0))
 
     def sweep_with(frozen, carry):
@@ -747,9 +759,10 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
 
     if pallas_inner:
         if (two_phase or friction_mode != "textbook"
-                or isinstance(inv_moment, Mat3)):
+                or isinstance(inv_moment, Mat3) or col_offset):
             raise ValueError("pallas_inner requires the single-phase "
-                             "textbook-friction iso (scalar inertia) path")
+                             "textbook-friction iso (scalar inertia) path "
+                             "without a column offset")
         from mgf_tpu.ops import solver_sweep as _ss
         pad = (-n) % _ss._BLOCK
         padN = lambda a: (jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
@@ -764,11 +777,11 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
             Sn, acc = _ss.inner_sweeps(padN(S[:, :n]), fields, term,
                                        self_p, acc, inner_iters)
             S = jnp.concatenate([Sn[:, :n], S[:, n:]], axis=1)
-        v_out, o_out = unpack_body_state(S)
+        out = S if return_state else unpack_body_state(S)
         if return_acc:
-            return v_out, o_out, (acc[0, :, :n], acc[1, :, :n],
-                                  acc[2, :, :n])
-        return v_out, o_out
+            acc3 = (acc[0, :, :n], acc[1, :, :n], acc[2, :, :n])
+            return out + (acc3,) if not return_state else (out, acc3)
+        return out
 
     carry = (S,) + acc0
     n_outer = iters
@@ -777,6 +790,8 @@ def solve_rows(rc: RowConstraints, v: Vec3, omega: Vec3, inv_mass,
         n_outer = iters - 1
     (S, acc_n, acc_t1, acc_t2), _ = jax.lax.scan(
         sweep, carry, None, length=n_outer)
+    if return_state:
+        return (S, (acc_n, acc_t1, acc_t2)) if return_acc else S
     v_out, o_out = unpack_body_state(S)
     if return_acc:
         return v_out, o_out, (acc_n, acc_t1, acc_t2)

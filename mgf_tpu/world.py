@@ -337,6 +337,20 @@ def make_world(bodies: RigidBodyState, terrain_verts=None, terrain_faces=None,
                  terrain_grid=grid_table)
 
 
+def _stable_sort_pairs(partner, pair_ok):
+    """Canonical slot order: sort each body's partner list by index
+    (invalid slots to the end) and mask duplicate partners (modulus
+    aliasing can bin one body into two windows — ADVICE r2).  The partner
+    SET is unchanged; slot positions become deterministic."""
+    big = jnp.int32(1 << 28)
+    p_s = jnp.sort(jnp.where(pair_ok, partner, big), axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((p_s.shape[0], 1), bool), p_s[:, 1:] == p_s[:, :-1]],
+        axis=1)
+    ok = (p_s < big) & ~dup
+    return jnp.where(ok, p_s, -1), ok
+
+
 # ---------------------------------------------------------------------------
 # narrowphase dispatch over the flattened pair list
 # ---------------------------------------------------------------------------
@@ -360,9 +374,10 @@ def shape_view(state: RigidBodyState) -> ShapeView:
 
 class PackedShapes(NamedTuple):
     """Per-body shape data packed for single wide gathers (TPU gathers cost
-    per index: fetching one 8-wide row beats eight scalar gathers)."""
-    p8: jnp.ndarray          # (N, 8): x y z dx dy dz r half_h
-    q4: jnp.ndarray          # (N, 4): quaternion wxyz (capsule frames)
+    per index: fetching one 8-wide row beats eight scalar gathers).
+    ``p8`` carries 12 columns in capsule/mixed modes — the quaternion
+    rides the same row so the capsule frame costs no second gather."""
+    p8: jnp.ndarray          # (N, 8|12): x y z dx dy dz r half_h [q wxyz]
     shape_type: jnp.ndarray  # (N,)
 
 
@@ -376,11 +391,15 @@ class GatheredShapes(NamedTuple):
 
 
 def pack_shapes(sv: ShapeView) -> PackedShapes:
-    p8 = jnp.stack([sv.x.x, sv.x.y, sv.x.z,
-                    sv.delta.x, sv.delta.y, sv.delta.z,
-                    sv.shape_r, sv.shape_half_h], axis=-1)
-    q4 = jnp.stack([sv.q.w, sv.q.x, sv.q.y, sv.q.z], axis=-1)
-    return PackedShapes(p8=p8, q4=q4, shape_type=sv.shape_type)
+    cols = [sv.x.x, sv.x.y, sv.x.z,
+            sv.delta.x, sv.delta.y, sv.delta.z,
+            sv.shape_r, sv.shape_half_h,
+            # the quaternion (and shape type, col 12) ride the same row so
+            # capsule/mixed partner fetches cost ONE gather, not two
+            sv.q.w, sv.q.x, sv.q.y, sv.q.z,
+            sv.shape_type.astype(jnp.float32)]
+    return PackedShapes(p8=jnp.stack(cols, axis=-1),
+                        shape_type=sv.shape_type)
 
 
 def self_shapes(cfg: WorldConfig, sv: ShapeView, width: int,
@@ -427,14 +446,13 @@ def gather_shapes(cfg: WorldConfig, ps: PackedShapes, idx) -> GatheredShapes:
         capsule = Capsule(a=x, d=Vec3(r * 0, r * 0, r * 0), r=r)
         stype = jnp.zeros_like(idx)
     else:
-        q = ps.q4[idx]
         hh = g[..., 7]
         zero = jnp.zeros_like(hh)
-        d_half = qrotate(Quat(q[..., 0], q[..., 1], q[..., 2], q[..., 3]),
+        d_half = qrotate(Quat(g[..., 8], g[..., 9], g[..., 10], g[..., 11]),
                          Vec3(zero, hh, zero))
         capsule = Capsule(a=x - d_half, d=d_half * 2.0, r=r)
-        stype = (ps.shape_type[idx] if cfg.shape_mode == "mixed"
-                 else jnp.ones_like(idx))
+        stype = (g[..., 12].astype(jnp.int32)
+                 if cfg.shape_mode == "mixed" else jnp.ones_like(idx))
     return GatheredShapes(x=x, delta=delta, sphere=sphere, capsule=capsule,
                           shape_type=stype)
 
@@ -619,7 +637,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     (reference pair dedupe, world.rs:266-268).
     """
     state = complete_motion(world.bodies)
-    state = integrate(state, cfg.dt)
+    state = integrate(state, cfg.dt, iso=cfg.shape_mode == "spheres")
     n = state.n_bodies
     n_tris = world.terrain.a.x.shape[0]
     sv = shape_view(state)
@@ -681,6 +699,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 ordered=not rows_form,
                 window=("sel8" if cfg.broadphase in ("fat8", "fat8x4")
                         else "27"))
+            if cfg.stable_pairs:
+                # canonicalize INSIDE the build so cached lists are stored
+                # sorted — reuse steps then skip the per-step (N, K) sort
+                partner, pair_ok = _stable_sort_pairs(partner, pair_ok)
             return partner, pair_ok, grid.overflow
 
         if use_cache:
@@ -780,19 +802,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         bp_rebuilt = jnp.bool_(True)
         bp_drift_excess = jnp.float32(0.0)
 
-    if cfg.stable_pairs:
-        # canonical slot order: sort each body's partner list by index
-        # (invalid slots to the end) and mask duplicate partners (modulus
-        # aliasing can bin one body into two windows — ADVICE r2).  The
-        # partner SET is unchanged; slot positions become deterministic,
-        # which is what warm_match="pos" needs.
-        big = jnp.int32(1 << 28)
-        p_s = jnp.sort(jnp.where(pair_ok, partner, big), axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((p_s.shape[0], 1), bool), p_s[:, 1:] == p_s[:, :-1]],
-            axis=1)
-        pair_ok = (p_s < big) & ~dup
-        partner = jnp.where(pair_ok, p_s, -1)
+    if cfg.stable_pairs and cfg.broadphase not in fat_modes:
+        # fat-mode builds canonicalize inside build_pairs (so the cached
+        # list is stored sorted); other paths canonicalize here
+        partner, pair_ok = _stable_sort_pairs(partner, pair_ok)
 
     if cfg.profile_stage == "pairs":
         return world, {"probe": jnp.sum(partner) + jnp.sum(pair_ok)}
@@ -880,8 +893,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             from mgf_tpu.ops import sphere_contact_pairs
             P = rows.shape[0]
             pad = (-P) % 4096
-            ga8 = jnp.pad(ps.p8[rows], ((0, pad), (0, 0))).T
-            gb8 = jnp.pad(ps.p8[cols], ((0, pad), (0, 0))).T
+            ga8 = jnp.pad(ps.p8[rows][:, :8], ((0, pad), (0, 0))).T
+            gb8 = jnp.pad(ps.p8[cols][:, :8], ((0, pad), (0, 0))).T
             c = sphere_contact_pairs(ga8, gb8, use_pallas=True)
             c = jax.tree_util.tree_map(lambda x: x[:P], c)
             pc = contact_stack([c])
@@ -1203,6 +1216,27 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         # one 16-wide partner gather + scalar-inertia math replaces three
         # 8-wide gathers + Mat3 chains in the precompute and the sweeps
         iso_mode = cfg.shape_mode == "spheres"
+        # TWO-BLOCK split (r4, mixed): bodies are type-sorted (spheres
+        # [0, ns), capsules [ns, N)); sphere columns can never hold
+        # slot-1 pair/terrain rows (spheres emit one contact per pair)
+        # and their self inertia is a scalar, so BOTH the constraint
+        # precompute and the solve run as: sphere block over its
+        # K + terrain_cand live rows, then capsule block over all rows
+        # with Mat3 inertia.  Row layout (man_to_rows): [pair slot0 K |
+        # pair slot1 K | terrain slot0 C | terrain slot1 C].
+        split_solve = (split_mixed and cfg.solver_rows == 0
+                       and not cfg.terrain_rows and n_slots == 2)
+        if split_solve:
+            ns_b = cfg.n_sphere_rows
+            C_t = t_width if n_tris > 0 else 0
+            R0_b = man_rows.valid.shape[0]
+
+            def rows_a(g):
+                return jnp.concatenate(
+                    [g[0:K, :ns_b], g[2 * K:2 * K + C_t, :ns_b]], axis=0)
+
+            def rows_b(g):
+                return g[:, ns_b:]
         if fused:
             # constraint precompute with ZERO gathers: pair-row partner
             # fields were fetched with the narrowphase gather; terrain rows
@@ -1237,38 +1271,70 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 [jnp.sum(man_rows.valid, axis=0).astype(jnp.float32),
                  jnp.ones((1,), jnp.float32)])
             counts = jnp.maximum(counts, 1.0)
-            rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
-                                       cfg.dt, counts=counts)
+            if split_solve:
+                # per-block precompute: the (rows x cols) product drops
+                # ~40% (spheres: K+C of 2K+2C rows) and the slot-1 dead
+                # rows of sphere columns are never built at all
+                tA = lambda t: jax.tree_util.tree_map(rows_a, t)
+                tB = lambda t: jax.tree_util.tree_map(rows_b, t)
+                rc_a = build_row_constraints(
+                    bodies_ext, rows_a(partner_rows), tA(man_rows),
+                    cfg.dt, counts=counts)
+                rc_b = build_row_constraints(
+                    bodies_ext, rows_b(partner_rows), tB(man_rows),
+                    cfg.dt, counts=counts, col_offset=ns_b)
+                rc = None
+            else:
+                rc = build_row_constraints(bodies_ext, partner_rows,
+                                           man_rows, cfg.dt, counts=counts)
             solver_inertia = bodies_ext.inv_moment
             pt0 = None
+        rc_valid = man_rows.valid    # == rc.valid on every build path
         if cfg.profile_stage == "constraints":
+            if rc is None:
+                return world, {"probe": jnp.sum(rc_a.bias)
+                               + jnp.sum(rc_b.normal_mass)}
             return world, {"probe": jnp.sum(rc.bias)
                            + jnp.sum(rc.normal_mass)}
         warm = None
         matched = None
         if cfg.warm_start and world.warm is not None:
-            if cfg.warm_match == "pos":
+            def match_pos(_):
                 # positional match: a row warms iff the SAME slot carried
-                # the same (partner, key2) last frame — zero gathers.
-                # stable_pairs makes slots deterministic while the partner
-                # set is unchanged; on a set change the affected body's
-                # shifted rows simply restart cold for one frame.  Also
-                # immune to the duplicate-key double-apply (ADVICE r2).
+                # the same (partner, key2) last frame — zero gathers, pure
+                # elementwise.  Immune to the duplicate-key double-apply
+                # (ADVICE r2).
                 hit = ((partner_rows == world.warm.partner)
-                       & (key2_rows == world.warm.key2)).astype(jnp.float32)
-                warm = (world.warm.acc_n * hit, world.warm.acc_t1 * hit,
-                        world.warm.acc_t2 * hit)
-                matched = hit > 0.0
-            else:
+                       & (key2_rows == world.warm.key2))
+                hf = hit.astype(jnp.float32)
+                return (world.warm.acc_n * hf, world.warm.acc_t1 * hf,
+                        world.warm.acc_t2 * hf, hit)
+
+            def match_search(_):
                 # full search: match rows by (partner, key2) key across all
                 # previous slots; the three accumulators ride in one packed
                 # array so the matched fetch is a single wide gather.
                 # NOTE (ADVICE r2): the (R, R_prev, N) boolean intermediate
                 # scales quadratically in row count — fine for compacted
                 # configs, a memory hazard for uncompacted dense-terrain
-                # ones (prefer "pos" there).
-                eq = ((partner_rows[:, None, :] == world.warm.partner[None])
-                      & (key2_rows[:, None, :] == world.warm.key2[None]))
+                # ones.
+                # r4: fuse (partner, key2) into ONE int32 when the ranges
+                # fit (partner <= n < 2^17 incl. the static row, key2 =
+                # slot id or triangle id < 2^14) — halves the eq tensor's
+                # construction cost.  Injective, so equality is identical.
+                kbit = 1 << 17
+                key2_hi = max(n_tris, 8)
+                if (n + 1) < kbit and key2_hi < (1 << 14):
+                    k_now = key2_rows * kbit + partner_rows
+                    k_prev = jnp.where(
+                        world.warm.partner < 0, -9,
+                        world.warm.key2 * kbit + world.warm.partner)
+                    eq = k_now[:, None, :] == k_prev[None]
+                else:
+                    eq = ((partner_rows[:, None, :]
+                           == world.warm.partner[None])
+                          & (key2_rows[:, None, :]
+                             == world.warm.key2[None]))
                 # first-match one-hot contraction: replaces the (R, N)-index
                 # matched-accumulator gather (per-index TPU gather cost ~=
                 # the whole solver sweep) with a static sum over the R_prev
@@ -1283,8 +1349,28 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                     wn = wn + mk * world.warm.acc_n[k][None]
                     wt1 = wt1 + mk * world.warm.acc_t1[k][None]
                     wt2 = wt2 + mk * world.warm.acc_t2[k][None]
-                warm = (wn, wt1, wt2)
-                matched = jnp.any(first, axis=1)
+                return wn, wt1, wt2, jnp.any(first, axis=1)
+
+            if cfg.warm_match == "pos":
+                wn, wt1, wt2, matched = match_pos(None)
+            elif cfg.warm_match == "hybrid":
+                # hybrid (r4): on cache-REUSE steps the pair partner rows
+                # are bit-identical to the previous frame's (same cached
+                # candidate list, same canonical sort), so positional
+                # matching is exact for pair rows and the quadratic search
+                # only runs on rebuild steps.  Terrain candidate slots are
+                # recomputed per step and may shift on a reuse step (their
+                # warm rows then restart cold for one frame) — warm origin
+                # is a stability aid, not semantics, and warm_hit_frac
+                # observes any loss.  Requires stable_pairs + a bp cache.
+                if not cfg.stable_pairs:
+                    raise ValueError(
+                        "warm_match='hybrid' requires stable_pairs")
+                wn, wt1, wt2, matched = jax.lax.cond(
+                    bp_rebuilt, match_search, match_pos, None)
+            else:
+                wn, wt1, wt2, matched = match_search(None)
+            warm = (wn, wt1, wt2)
         # the fused path passes only the N live rows (terrain rows never
         # read the static row at all — n_gather_rows cuts them from the
         # per-sweep state gather)
@@ -1296,24 +1382,63 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         use_pk = (cfg.pallas_solver and fused and not cfg.two_phase
                   and cfg.friction_mode == "textbook")
         warm_hit_frac = jnp.float32(0.0)
+        # split solve (see split_solve above): sphere block first (iso
+        # self inertia, its live rows only), then the capsule block with
+        # Mat3 — partner gathers read global state, so the sequential
+        # order is a two-color Gauss-Seidel (capsules see solved sphere
+        # velocities).
+        if split_solve:
+            iso_arr = bodies_ext.inv_moment.xx
+
+            def split_warm(wtriple):
+                if wtriple is None:
+                    return None, None
+                return (tuple(rows_a(w) for w in wtriple),
+                        tuple(rows_b(w) for w in wtriple))
+
+            warm_a, warm_b = split_warm(warm)
+
+            def run_solve(it, inner):
+                S1, acc_a = solve_rows(
+                    rc_a, sv_in[0], sv_in[1], sv_in[2], iso_arr,
+                    it, cfg.friction_mode, cfg.two_phase, inner,
+                    warm=warm_a, return_acc=True, return_state=True)
+                S2, acc_b = solve_rows(
+                    rc_b, sv_in[0], sv_in[1], sv_in[2],
+                    bodies_ext.inv_moment, it, cfg.friction_mode,
+                    cfg.two_phase, inner, warm=warm_b, return_acc=True,
+                    state0=S1, return_state=True, col_offset=ns_b)
+                from mgf_tpu.solver import unpack_body_state
+                v2, o2 = unpack_body_state(S2)
+                accs = []
+                for k in range(3):
+                    a = jnp.zeros((R0_b, n), jnp.float32)
+                    a = a.at[:, ns_b:].set(acc_b[k])
+                    a = a.at[0:K, :ns_b].set(acc_a[k][0:K])
+                    if C_t:
+                        a = a.at[2 * K:2 * K + C_t, :ns_b].set(
+                            acc_a[k][K:K + C_t])
+                    accs.append(a)
+                return v2, o2, tuple(accs)
         if cfg.warm_start:
             # NOTE: pt0 is NOT passed here — the warm pre-apply moves
             # partner velocities by full accumulated impulses, so a
             # pre-warm frozen term is too stale (measured: settled pile
             # max penetration 0.09 -> 0.34).  The reuse only pays on
             # cold solves.
-            def run_solve(it, inner):
-                return solve_rows(
-                    rc, sv_in[0], sv_in[1], sv_in[2],
-                    solver_inertia, it, cfg.friction_mode,
-                    cfg.two_phase, inner, warm=warm,
-                    return_acc=True, n_gather_rows=ngr,
-                    pallas_inner=use_pk)
+            if not split_solve:
+                def run_solve(it, inner):
+                    return solve_rows(
+                        rc, sv_in[0], sv_in[1], sv_in[2],
+                        solver_inertia, it, cfg.friction_mode,
+                        cfg.two_phase, inner, warm=warm,
+                        return_acc=True, n_gather_rows=ngr,
+                        pallas_inner=use_pk)
 
             if matched is not None:
                 warm_hit_frac = (
-                    jnp.sum((matched & rc.valid).astype(jnp.float32))
-                    / jnp.maximum(jnp.sum(rc.valid.astype(jnp.float32)),
+                    jnp.sum((matched & rc_valid).astype(jnp.float32))
+                    / jnp.maximum(jnp.sum(rc_valid.astype(jnp.float32)),
                                   1.0))
             if cfg.adapt_schedule is not None and matched is not None:
                 # adaptive schedule: the warm-hit fraction ~1 means the
@@ -1332,10 +1457,13 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             else:
                 v, omega, acc = run_solve(cfg.solver_iters,
                                           cfg.solver_inner)
-            new_warm = SolverWarm(partner=jnp.where(rc.valid, partner_rows,
+            new_warm = SolverWarm(partner=jnp.where(rc_valid, partner_rows,
                                                     -9),
                                   key2=key2_rows, acc_n=acc[0],
                                   acc_t1=acc[1], acc_t2=acc[2])
+        elif split_solve:
+            v, omega, _ = run_solve(cfg.solver_iters, cfg.solver_inner)
+            new_warm = world.warm
         else:
             v, omega = solve_rows(rc, sv_in[0], sv_in[1], sv_in[2],
                                   solver_inertia,
@@ -1344,8 +1472,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                   partner_term0=pt0, n_gather_rows=ngr,
                                   pallas_inner=use_pk)
             new_warm = world.warm
-        num_contacts = jnp.sum(rc.valid)
-        num_constraints = rc.valid.size
+        num_contacts = jnp.sum(rc_valid)
+        num_constraints = rc_valid.size
         solver_rows_dropped = rows_dropped
     else:
         # ---- flat constraint list (reference single-direction form) ----

@@ -50,9 +50,15 @@ def main():
     ap.add_argument("--warmsteps", type=int, default=300)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mixed", action="store_true")
+    ap.add_argument("--bp_every", type=int, default=0)
+    ap.add_argument("--pallas_solver", action="store_true")
     args = ap.parse_args()
 
     world, cfg = stress_scene(args.bodies, mixed=args.mixed)
+    if args.bp_every:
+        cfg = cfg._replace(bp_every=args.bp_every)
+    if args.pallas_solver:
+        cfg = cfg._replace(pallas_solver=True)
     f = jax.jit(functools.partial(step, cfg=cfg))
     t0 = time.perf_counter()
     w = world

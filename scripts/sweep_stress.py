@@ -25,6 +25,9 @@ from mgf_tpu.world import step
 
 
 def run_cfg(name, world, cfg, rewarm=20, iters=30):
+    # NOTE: donate_argnums measured NEGATIVE here — it costs the Pallas
+    # solver path ~15 steps/s (donated inputs defeat the kernel's buffer
+    # aliasing; sweep set "x") and buys nothing for the jnp path
     f = jax.jit(functools.partial(step, cfg=cfg))
     t0 = time.perf_counter()
     w, m = f(world)
@@ -112,6 +115,117 @@ def main():
             ("3x5 cand2", base_cfg._replace(
                 solver_iters=3, solver_inner=5, terrain_cand=2)),
         ],
+        # r4i: pallas on/off at the 27-window winner, no donation
+        "y": [
+            ("bp16 + pallas", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("bp16 no pallas", base_cfg._replace(
+                bp_every=16, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("bp16 no pallas 2x8", base_cfg._replace(
+                bp_every=16, warm_match="hybrid",
+                broadphase="fat27x4", adapt_schedule=(0.97, 2, 8),
+                grid=g(1.6, (128, 16, 128), 10))),
+        ],
+        # r4h: iso-integrate + donation on the 27-window winner
+        "x": [
+            ("27x4 c1.6 cap10 bp16 (donate+iso)", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("same, adapt 2x5", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4", adapt_schedule=(0.97, 2, 5),
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("same, terrain_cand 2", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4", terrain_cand=2,
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("same, no pallas", base_cfg._replace(
+                bp_every=16, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+        ],
+        # r4g: push the 27-window cadence; reuse step is the floor
+        "w": [
+            ("27x4 c1.6 cap10 bp16", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("27x4 c1.6 cap10 bp24", base_cfg._replace(
+                bp_every=24, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("27x4 c1.6 cap10 bp32", base_cfg._replace(
+                bp_every=32, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("bp24 + adapt 2x8", base_cfg._replace(
+                bp_every=24, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4", adapt_schedule=(0.97, 2, 8),
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("bp24 cap12", base_cfg._replace(
+                bp_every=24, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 12))),
+        ],
+        # r4f: 27-window small-cell grid -> big slack budget -> rare rebuilds
+        "v": [
+            ("bp4 sel8 (ref)", base_cfg._replace(
+                bp_every=4, pallas_solver=True, warm_match="hybrid")),
+            ("27x4 c1.6 cap8 bp8", base_cfg._replace(
+                bp_every=8, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 8))),
+            ("27x4 c1.6 cap10 bp12", base_cfg._replace(
+                bp_every=12, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("27x4 c1.6 cap10 bp16", base_cfg._replace(
+                bp_every=16, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.6, (128, 16, 128), 10))),
+            ("27x4 c1.8 cap12 bp12", base_cfg._replace(
+                bp_every=12, pallas_solver=True, warm_match="hybrid",
+                broadphase="fat27x4",
+                grid=g(1.8, (128, 16, 128), 12))),
+        ],
+        # r4e: hybrid warm match (pos on cache-reuse steps) + K
+        "u": [
+            ("bp4 + pallas (ref)", base_cfg._replace(
+                bp_every=4, pallas_solver=True)),
+            ("bp4 + pallas + hybrid", base_cfg._replace(
+                bp_every=4, pallas_solver=True, warm_match="hybrid")),
+            ("bp2 + pallas + hybrid", base_cfg._replace(
+                pallas_solver=True, warm_match="hybrid")),
+            ("bp4 + pallas + hybrid + K8", base_cfg._replace(
+                bp_every=4, pallas_solver=True, warm_match="hybrid",
+                max_pairs=8)),
+            ("bp4 + pallas + hybrid + K10", base_cfg._replace(
+                bp_every=4, pallas_solver=True, warm_match="hybrid",
+                max_pairs=10)),
+        ],
+        # r4d: bigger cells -> bigger slack budget -> real bp cadence
+        "t": [
+            ("bp4 cell2.4 (ref)", base_cfg._replace(
+                bp_every=4, pallas_solver=True)),
+            ("bp4 cell2.6", base_cfg._replace(
+                bp_every=4, pallas_solver=True,
+                grid=g(2.6, dim, base_cfg.grid.bucket_cap))),
+            ("bp6 cell2.6", base_cfg._replace(
+                bp_every=6, pallas_solver=True,
+                grid=g(2.6, dim, base_cfg.grid.bucket_cap))),
+            ("bp8 cell2.6", base_cfg._replace(
+                bp_every=8, pallas_solver=True,
+                grid=g(2.6, dim, base_cfg.grid.bucket_cap))),
+            ("bp6 cell2.6 cap20", base_cfg._replace(
+                bp_every=6, pallas_solver=True, grid=g(2.6, dim, 20))),
+            ("bp6 cell2.8 cap28", base_cfg._replace(
+                bp_every=6, pallas_solver=True, grid=g(2.8, dim, 28))),
+        ],
         # r4c: row-major solver gather (solve_rows partner_term)
         "s": [
             ("bp2 rowmajor", base_cfg),
@@ -177,10 +291,14 @@ def main():
         wc = w if cfg.warm_start else w._replace(warm=None)
         if cfg.bp_margin > 0:
             wc = init_bp_cache(wc, cfg)
-        if cfg.max_pairs != base_cfg.max_pairs or (
-                cfg.solver_rows != base_cfg.solver_rows):
-            from mgf_tpu.world import init_warm
+        from mgf_tpu.world import init_warm, solver_row_count
+        n_tris = w.terrain.a.x.shape[0]
+        if (cfg.max_pairs != base_cfg.max_pairs
+                or solver_row_count(cfg, n_tris)
+                != solver_row_count(base_cfg, n_tris)):
             wc = init_warm(wc._replace(warm=None), cfg)
+            if cfg.bp_every > 1 or cfg.bp_margin > 0:
+                wc = init_bp_cache(wc._replace(bp=None), cfg)
         run_cfg(name, wc, cfg)
 
 

@@ -71,11 +71,18 @@ def _run(rc, v, omega, inv_mass, iso, pallas, iters=3, inner=4, warm=None,
                       n_gather_rows=ngr, pallas_inner=pallas)
 
 
-def _assert_close(a, b, atol=2e-4):
+def _assert_close(a, b, atol=2e-4, mask=None):
+    """mask: compare only where True (the jnp path updates accumulators on
+    INVALID rows too and masks at apply time, while the kernel masks the
+    accumulator update itself — invalid-row accumulators are never
+    consumed, so parity is defined on valid rows)."""
     for ga, gb in zip(jax.tree_util.tree_leaves(a),
                       jax.tree_util.tree_leaves(b)):
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
-                                   atol=atol, rtol=1e-4)
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        if mask is not None:
+            m = np.asarray(mask)
+            ga, gb = ga[m], gb[m]
+        np.testing.assert_allclose(ga, gb, atol=atol, rtol=1e-4)
 
 
 def test_pallas_inner_sweeps_match_jnp():
@@ -83,7 +90,7 @@ def test_pallas_inner_sweeps_match_jnp():
     vj, oj, accj = _run(*args, pallas=False)
     vp, op, accp = _run(*args, pallas=True)
     _assert_close((vj, oj), (vp, op))
-    _assert_close(accj, accp)
+    _assert_close(accj, accp, mask=args[0].valid)
     # the solve must actually do something (non-degenerate fixture)
     assert float(jnp.abs(vj.x - args[1].x).max()) > 1e-3
 
@@ -98,7 +105,7 @@ def test_pallas_inner_sweeps_warm_started():
                         warm=warm)
     vp, op, accp = _run(rc, v, omega, inv_mass, iso, pallas=True, warm=warm)
     _assert_close((vj, oj), (vp, op))
-    _assert_close(accj, accp)
+    _assert_close(accj, accp, mask=rc.valid)
 
 
 def test_pallas_inner_sweeps_static_tail_rows():

@@ -88,7 +88,8 @@ def test_spatial_stress_config_matches_single_device():
 
     world, cfg = stress_scene(n_bodies=300, layers=3)
     assert cfg.warm_start and cfg.stable_pairs and cfg.fused_iso
-    assert cfg.broadphase == "fat8x4" and cfg.terrain_bp == "near"
+    assert cfg.broadphase in ("fat8x4", "fat27x4")
+    assert cfg.terrain_bp == "near"
     # drop the pile to just above the floor so contacts (and warm rows)
     # form within the first couple of steps
     import jax.numpy as jnp

@@ -83,22 +83,22 @@ def test_bp_every_trajectory_parity_settled(settled):
     assert max(float(m["broadphase_cache_drift_excess"]) for m in ms2) == 0.0
 
 
-def test_bp_every_drift_excess_detects_fast_mover(settled):
-    """A body accelerated beyond the per-body slack budget must surface in
-    broadphase_cache_drift_excess on reuse steps (the candidate-staleness
-    alarm)."""
+def test_bp_every_fast_mover_forces_rebuild(settled):
+    """r4 staleness gate: a body that outruns its build slack forces a
+    rebuild THE SAME STEP (before the stale candidates would be used), so
+    reuse steps never carry drift excess — the cache is self-certifying.
+    A 60 m/s body (delta/step = 1.0 >> slack) must pin the cadence at
+    rebuild-every-step while it flies."""
     world, cfg = settled
     b = world.bodies
-    # launch one body sideways at 60 m/s (delta/step = 1.0 >> slack budget)
     vx = b.v.x.at[0].set(60.0)
     fast = world._replace(bodies=b._replace(v=b.v._replace(x=vx)))
     _, ms = _steps(fast, cfg, 4,
                    collect=["broadphase_rebuilt",
                             "broadphase_cache_drift_excess"])
-    reuse = [m for m in ms if not bool(m["broadphase_rebuilt"])]
-    assert reuse, "cadence never produced a reuse step"
-    assert max(float(m["broadphase_cache_drift_excess"])
-               for m in reuse) > 0.3
+    assert all(bool(m["broadphase_rebuilt"]) for m in ms)
+    assert all(float(m["broadphase_cache_drift_excess"]) == 0.0
+               for m in ms)
 
 
 def test_bp_every_transient_disengages_cadence(settled):
@@ -143,15 +143,35 @@ def test_adapt_schedule_full_during_transient():
     np.testing.assert_allclose(_pos(w_ad), _pos(w_fu), atol=1e-6)
 
 
-def test_warm_match_pos_equals_search_settled(settled):
-    """With stable_pairs, slots are deterministic while the partner set is
-    unchanged, so positional warm matching recovers the same accumulators
-    as the full key search — settled trajectories must agree."""
-    world, cfg = settled
-    assert cfg.stable_pairs
-    w_se, ms_se = _steps(world, cfg, 16, collect=["warm_hit_frac"])
-    w_po, ms_po = _steps(world, cfg._replace(warm_match="pos"), 16,
-                         collect=["warm_hit_frac"])
-    np.testing.assert_allclose(_pos(w_po), _pos(w_se), atol=5e-3)
-    # positional matching must actually hit at the settled state
-    assert float(ms_po[-1]["warm_hit_frac"]) > 0.9
+def test_warm_match_pos_equals_search_when_set_stable():
+    """Positional matching equals the full key search EXACTLY while the
+    partner set (and therefore, under stable_pairs, the slot layout) is
+    unchanged — a resting two-sphere stack whose candidate list cannot
+    churn.  (At 100k-pile scale the distance-keyed top-k churns slot
+    membership as bodies jiggle, so "pos" loses warm rows and is NOT
+    equivalent — measured pen 0.3 vs 0.12 on the r4 sweep; "search" is
+    the shipped mode and this test documents the boundary.)"""
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.broadphase import GridConfig
+    from mgf_tpu.world import WorldConfig, make_world
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    b.add_sphere((0.0, 1.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    verts = np.asarray([[-5, 0, -5], [-5, 0, 5], [5, 0, 5], [5, 0, -5]],
+                       np.float32)
+    faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
+    world = make_world(b.build(), verts, faces)
+    base = WorldConfig(dt=1 / 60, solver_iters=4, solver_inner=2,
+                       two_phase=False, shape_mode="spheres", solver="rows",
+                       grid=GridConfig(cell_size=2.0, dim=8, bucket_cap=4),
+                       max_pairs=4, fatten=0.02, warm_start=True,
+                       stable_pairs=True, terrain_bp="dense")
+    world = init_warm(world, base)
+    w0, _ = _steps(world, base, 30)           # settle + build warm rows
+    for mode in ("search", "pos"):
+        w, ms = _steps(w0, base._replace(warm_match=mode), 5,
+                       collect=["warm_hit_frac"])
+        if mode == "search":
+            ref, ref_hit = w, ms[-1]["warm_hit_frac"]
+    np.testing.assert_allclose(_pos(w), _pos(ref), atol=1e-6)
+    assert float(ms[-1]["warm_hit_frac"]) == float(ref_hit) == 1.0
