@@ -1371,6 +1371,11 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             else:
                 wn, wt1, wt2, matched = match_search(None)
             warm = (wn, wt1, wt2)
+        if cfg.profile_stage == "warm":
+            z = jnp.float32(0.0)
+            return world, {"probe": (jnp.sum(warm[0]) + jnp.sum(warm[1])
+                                     if warm is not None else z)
+                           + jnp.sum(rc_valid)}
         # the fused path passes only the N live rows (terrain rows never
         # read the static row at all — n_gather_rows cuts them from the
         # per-sweep state gather)

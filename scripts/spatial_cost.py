@@ -22,9 +22,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# the axon environment registers its TPU backend from sitecustomize and
+# sets jax_platforms at the CONFIG level, which overrides the JAX_PLATFORMS
+# env var — force cpu back the way conftest.py does, or this script
+# silently runs single-device on the tunneled TPU
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+        clear_backends()
 
 
 def timeit(f, w, steps):

@@ -64,7 +64,11 @@ def test_bp_every_trajectory_parity_settled(settled):
     fresh one whose extras are out of contact range — trajectories under
     bp_every=2 must track the rebuild-every-step path to float noise."""
     world, cfg = settled
-    w2, ms2 = _steps(world, cfg, 24,
+    # pin the cadence to 2 (the flagship ships a longer cadence whose
+    # rebuild count is set by the staleness trigger, not the modulus —
+    # asserted separately below)
+    cfg2 = cfg._replace(bp_every=2)
+    w2, ms2 = _steps(world, cfg2, 24,
                      collect=["broadphase_rebuilt", "num_contacts",
                               "broadphase_cache_drift_excess"])
     cfg1 = cfg._replace(bp_every=1)
@@ -72,10 +76,20 @@ def test_bp_every_trajectory_parity_settled(settled):
                      collect=["num_contacts"])
     p1, p2 = _pos(w1), _pos(w2)
     np.testing.assert_allclose(p2, p1, atol=5e-3)
-    # cadence observability: rebuilds alternate once settled
+    # cadence observability: the modulus fires every other step; the
+    # staleness trigger may add a few
     rebuilt = [bool(m["broadphase_rebuilt"]) for m in ms2]
-    assert 8 <= sum(rebuilt) <= 16, rebuilt
+    assert 12 <= sum(rebuilt) <= 18, rebuilt
     assert not all(rebuilt)
+    # the flagship's own (longer) cadence must also ENGAGE on the settled
+    # pile: strictly fewer rebuilds than steps, and zero drift excess
+    _, msf = _steps(world, cfg, 24,
+                    collect=["broadphase_rebuilt",
+                             "broadphase_cache_drift_excess"])
+    flag_reb = [bool(m["broadphase_rebuilt"]) for m in msf]
+    assert sum(flag_reb) < 12, flag_reb
+    assert max(float(m["broadphase_cache_drift_excess"])
+               for m in msf) == 0.0
     # contact sets match on reuse steps (stale candidates, exact narrowphase)
     for m1, m2 in zip(ms1, ms2):
         assert abs(int(m1["num_contacts"]) - int(m2["num_contacts"])) <= 2
