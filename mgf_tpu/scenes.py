@@ -287,7 +287,10 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # collapse needs >= 4 refreshes per step; the adaptive trigger is
         # what makes the cheap schedule safe.
         dt=1.0 / 60.0, solver_iters=4, solver_inner=4, two_phase=False,
-        adapt_schedule=(0.97, 2, 8),
+        # settled schedule 2x6 (r4 sweep set "s4": 2x8 -> 2x6 is +2.7
+        # steps/s at pen 0.121 vs 0.106; 2x4 reaches 0.146 — inner sweeps
+        # cost ~0.175 ms each even inside the Pallas kernel)
+        adapt_schedule=(0.97, 2, 6),
         shape_mode="mixed" if mixed else "spheres",
         solver="rows", broadphase=bp, solver_rows=rows, warm_start=True,
         terrain_bp="near", terrain_cand=cand,

@@ -87,6 +87,18 @@ def main():
     from mgf_tpu.world import init_bp_cache
     dim = base_cfg.grid.dim
     CANDS = {
+        # r4j: decompose the settled solver cost (9.6 of the 14.8 ms reuse
+        # step): inner-sweep count at fixed gathers (2x4 vs 2x8), gather
+        # count at fixed sweeps (3x8 vs 2x8), row count (K8), terrain rows
+        "s4": [
+            ("base flagship (adapt 2x8)", base_cfg),
+            ("adapt 2x4", base_cfg._replace(adapt_schedule=(0.97, 2, 4))),
+            ("adapt 3x8", base_cfg._replace(adapt_schedule=(0.97, 3, 8))),
+            ("adapt 2x6", base_cfg._replace(adapt_schedule=(0.97, 2, 6))),
+            ("K8", base_cfg._replace(max_pairs=8)),
+            ("terrain_cand 2", base_cfg._replace(terrain_cand=2)),
+            ("no pallas", base_cfg._replace(pallas_solver=False)),
+        ],
         "d": [
             ("base (ikey, packed, 4x4)", base_cfg),
             ("pallas narrowphase", base_cfg._replace(
