@@ -25,7 +25,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def time_steps(world, cfg, warmup, iters, windows=1):
+def time_steps(world, cfg, warmup, iters, windows=1, chunk=0):
     """Time steps with two integrity measures for the axon tunnel:
 
     * a per-step in-jit force nonce (~1e-6 relative, below simulation
@@ -38,10 +38,48 @@ def time_steps(world, cfg, warmup, iters, windows=1):
     minutes; the max over windows is the standard interference-robust
     estimator — the simulation keeps advancing, so every window measures
     real steps).
+
+    ``chunk`` > 0: dispatch ``chunk`` steps per jit call via
+    ``driver.make_chunk_step`` (lax.scan — same physics, C-fold fewer
+    host dispatches), and run the adaptive solver schedule HOST-side
+    (driver.AdaptiveChunkStepper) instead of the in-graph lax.cond,
+    which measured ~1.1 ms/step of branch-duplication cost (PERF.md r4
+    sweep "s5").  The per-step nonce rides the scanned scales vector.
     """
     import functools
     import jax.numpy as jnp
     from mgf_tpu.world import step
+
+    if chunk:
+        from mgf_tpu.driver import AdaptiveChunkStepper, make_chunk_step
+        if cfg.adapt_schedule is not None:
+            stepper = AdaptiveChunkStepper(cfg, chunk=chunk)
+            fc = stepper.step_chunk
+        else:
+            g = make_chunk_step(cfg)
+            fc = lambda w, sc: g(w, sc)
+        mk = lambda i: jnp.asarray(
+            [1.0 + 1e-6 * ((i * chunk + j) % 64 + 1)
+             for j in range(chunk)], jnp.float32)
+        t0 = time.perf_counter()
+        world, m = fc(world, mk(0))
+        jax.block_until_ready(world)
+        compile_s = time.perf_counter() - t0
+        for i in range(-(-warmup // chunk)):
+            world, m = fc(world, mk(i))
+        _ = np.asarray(world.bodies.x.y)
+        best = 0.0
+        n_chunks = -(-iters // chunk)
+        for w in range(windows):
+            t0 = time.perf_counter()
+            for i in range(n_chunks):
+                world, m = fc(world, mk(i))
+            y = np.asarray(world.bodies.x.y)
+            dt = time.perf_counter() - t0
+            assert not bool(np.isnan(y).any()), "NaN"
+            best = max(best, n_chunks * chunk / dt)
+        m_last = jax.tree_util.tree_map(lambda x: x[-1], m)
+        return best, compile_s, world, m_last
 
     def stepped(world, scale, cfg):
         b = world.bodies
@@ -301,8 +339,10 @@ def main():
     # rebuilds 55/150 -> 20/150; scripts/soak_flagship.py r4) — the
     # headline measures the true steady state the cadence is designed
     # for.  Quality guards (pen/overflow) below certify the regime.
+    # chunk=16: 16 steps per dispatch (lax.scan) + HOST-adaptive schedule
+    # — same physics, no in-graph cond, dispatch tax amortized 16x
     sps, comp, world, m = time_steps(w, cfg, warmup=1300, iters=80,
-                                     windows=3)
+                                     windows=3, chunk=16)
     secondary["stress_compile_s"] = round(comp, 1)
     secondary["stress_num_contacts"] = int(m["num_contacts"])
     secondary["stress_broadphase_overflow"] = int(m["broadphase_overflow"])

@@ -1477,6 +1477,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                   partner_term0=pt0, n_gather_rows=ngr,
                                   pallas_inner=use_pk)
             new_warm = world.warm
+        if cfg.profile_stage == "solve":
+            # prefix ends at the solve output — the diff to the full step
+            # attributes warm extraction + metrics tail
+            return world, {"probe": jnp.sum(v.x) + jnp.sum(omega.x)}
         num_contacts = jnp.sum(rc_valid)
         num_constraints = rc_valid.size
         solver_rows_dropped = rows_dropped

@@ -23,7 +23,7 @@ from mgf_tpu.scenes import stress_scene
 from mgf_tpu.world import init_warm, step
 
 STAGES = ["integrate", "pairs", "narrow", "terrain", "rows",
-          "constraints", "warm", ""]
+          "constraints", "warm", "solve", ""]
 
 
 def timeit(f, bodies, warm=3, iters=10):

@@ -66,10 +66,11 @@ def main():
     ap.add_argument("--bodies", type=int, default=100_000)
     ap.add_argument("--settle", type=int, default=240)
     ap.add_argument("--set", default="a")
+    ap.add_argument("--mixed", action="store_true")
     args = ap.parse_args()
 
     from mgf_tpu.world import init_warm
-    world, base_cfg = stress_scene(args.bodies)
+    world, base_cfg = stress_scene(args.bodies, mixed=args.mixed)
     f = jax.jit(functools.partial(step, cfg=base_cfg))
     t0 = time.perf_counter()
     w = world
@@ -90,6 +91,33 @@ def main():
         # r4j: decompose the settled solver cost (9.6 of the 14.8 ms reuse
         # step): inner-sweep count at fixed gathers (2x4 vs 2x8), gather
         # count at fixed sweeps (3x8 vs 2x8), row count (K8), terrain rows
+        # r4k (--mixed): corner capsules need >3 terrain candidate faces
+        # (both floor tris tie on AABB distance and burn 2 of 3 slots,
+        # leaving one wall unresisted — scripts/mixed_pen_types.py) and 82
+        # capsules saturate K=9 pair slots at 10k settled
+        "m4": [
+            ("base mixed (cand3 K9)", base_cfg),
+            ("cand5", base_cfg._replace(terrain_cand=5)),
+            ("cand5 K12", base_cfg._replace(terrain_cand=5,
+                                            max_pairs=12)),
+            ("cand4 K11", base_cfg._replace(terrain_cand=4,
+                                            max_pairs=11)),
+            ("cand5 K12 cell2.0 bp8", base_cfg._replace(
+                terrain_cand=5, max_pairs=12, bp_every=8,
+                grid=g(2.0, (128, 16, 128), 14))),
+        ],
+        # r4l: decompose the 7.46 ms solve (profile_stress "solve" stage):
+        # per-outer cost (1x6 vs 2x6), per-inner cost (2x1 vs 2x12),
+        # kernel vs jnp, and the adapt lax.cond's join cost (fixed 2x6)
+        "s5": [
+            ("base (pallas adapt 2x6)", base_cfg),
+            ("adapt 1x6", base_cfg._replace(adapt_schedule=(0.97, 1, 6))),
+            ("adapt 2x1", base_cfg._replace(adapt_schedule=(0.97, 2, 1))),
+            ("adapt 2x12", base_cfg._replace(adapt_schedule=(0.97, 2, 12))),
+            ("fixed 2x6 (no cond)", base_cfg._replace(
+                solver_iters=2, solver_inner=6, adapt_schedule=None)),
+            ("no pallas 2x6", base_cfg._replace(pallas_solver=False)),
+        ],
         "s4": [
             ("base flagship (adapt 2x8)", base_cfg),
             ("adapt 2x4", base_cfg._replace(adapt_schedule=(0.97, 2, 4))),
@@ -311,7 +339,9 @@ def main():
             wc = init_warm(wc._replace(warm=None), cfg)
             if cfg.bp_every > 1 or cfg.bp_margin > 0:
                 wc = init_bp_cache(wc._replace(bp=None), cfg)
-        run_cfg(name, wc, cfg)
+        # warm-reset configs need a longer re-warm for penetration to
+        # re-converge (the accumulators restart cold)
+        run_cfg(name, wc, cfg, rewarm=80 if args.mixed else 20)
 
 
 if __name__ == "__main__":

@@ -200,3 +200,58 @@ def test_warm_match_pos_equals_search_when_set_stable():
             ref, ref_hit = w, ms[-1]["warm_hit_frac"]
     np.testing.assert_allclose(_pos(w), _pos(ref), atol=1e-6)
     assert float(ms[-1]["warm_hit_frac"]) == float(ref_hit) == 1.0
+
+
+def test_chunk_step_matches_per_step(settled):
+    """driver.make_chunk_step (lax.scan, C steps per dispatch) is the SAME
+    physics as C separate step() calls — bit-equal positions and metrics
+    (the scan body IS step; only host dispatch count changes)."""
+    from mgf_tpu.driver import make_chunk_step
+    world, cfg = settled
+    cfg1 = cfg._replace(adapt_schedule=None)
+    C = 8
+    g = make_chunk_step(cfg1)
+    w_c, ms = g(world, jnp.ones((C,), jnp.float32))
+    w_s, lastm = world, None
+    f = jax.jit(functools.partial(step, cfg=cfg1))
+    per_step_contacts = []
+    for _ in range(C):
+        w_s, lastm = f(w_s)
+        per_step_contacts.append(int(np.asarray(lastm["num_contacts"])))
+    np.testing.assert_array_equal(_pos(w_c), _pos(w_s))
+    np.testing.assert_array_equal(np.asarray(ms["num_contacts"]),
+                                  np.asarray(per_step_contacts))
+    assert float(np.asarray(ms["max_penetration"][-1])) == float(
+        np.asarray(lastm["max_penetration"]))
+
+
+def test_adaptive_chunk_stepper_schedules(settled):
+    """AdaptiveChunkStepper engages the cheap schedule only after
+    ``patience`` lagged reads at/above the threshold, and its hot chunks
+    equal the explicit static cheap schedule."""
+    from mgf_tpu.driver import AdaptiveChunkStepper, make_chunk_step
+    world, cfg = settled
+    assert cfg.adapt_schedule is not None
+    thr, it2, in2 = cfg.adapt_schedule
+    C = 4
+    st = AdaptiveChunkStepper(cfg, chunk=C, patience=2)
+    # settled pile: warm_hit_frac is high, so after 2 lagged reads
+    # (pending > 2 drains) the hot schedule engages
+    w = world
+    hots = []
+    for k in range(6):
+        w, m = st.step_chunk(w)
+        hots.append(st.hot_on)
+    assert hots[0] is False                 # nothing read yet
+    assert st.hot_on, hots                  # engaged by the end
+    # the hot compile equals the explicit cheap static schedule
+    cheap = make_chunk_step(cfg._replace(adapt_schedule=None,
+                                         solver_iters=int(it2),
+                                         solver_inner=int(in2)))
+    w1, _ = st.hot(w, jnp.ones((C,), jnp.float32))
+    w2, _ = cheap(w, jnp.ones((C,), jnp.float32))
+    np.testing.assert_array_equal(_pos(w1), _pos(w2))
+    # a cold read (fraction below threshold) disengages immediately
+    st._pending.insert(0, (jnp.float32(0.0), True))
+    st._drain_one()
+    assert st.hot_on is False
