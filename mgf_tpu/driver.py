@@ -37,20 +37,52 @@ from mgf_tpu.world import WorldConfig, step
 __all__ = ["make_chunk_step", "AdaptiveChunkStepper"]
 
 
-def make_chunk_step(cfg: WorldConfig, donate: bool = False):
+def make_chunk_step(cfg: WorldConfig, light: bool = False):
     """A jitted ``(world, scales) -> (world, metrics)`` running one
     ``step`` per entry of ``scales`` (a (C,) per-step force nonce vector;
     pass ones for plain stepping) via ``lax.scan``.  Metrics come back
     stacked (C,) per key; the physics is identical to C separate calls.
-    """
 
-    def body(w, s):
-        b = w.bodies
-        w = w._replace(bodies=b._replace(force=b.force * s))
-        return step(w, cfg)
+    ``light=True`` runs the chunk's interior steps with
+    ``cfg.light_metrics`` (skipping ~1.7 ms/step of observability
+    reductions at 100k — PERF.md r4 "tail") and the LAST step with full
+    metrics, so every chunk still surfaces the quality guards
+    (max_penetration, overflow, drift excess) in its final row.  The
+    physics is identical — light_metrics only changes metric outputs.
+
+    Buffer donation is deliberately NOT offered: donating the world into
+    the jitted step measured NEGATIVE (~15 steps/s on the Pallas-solver
+    path — donated inputs defeat kernel buffer aliasing; PERF.md r4 #10).
+    """
+    full_cfg = cfg._replace(light_metrics=False)
+    light_cfg = cfg._replace(light_metrics=True)
+
+    def body_for(c):
+        def body(w, s):
+            b = w.bodies
+            w = w._replace(bodies=b._replace(force=b.force * s))
+            return step(w, c)
+        return body
+
+    if not light:
+        def run(world, scales):
+            return jax.lax.scan(body_for(cfg), world, scales)
+        return jax.jit(run)
 
     def run(world, scales):
-        return jax.lax.scan(body, world, scales)
+        C = scales.shape[0]
+        if C > 1:
+            world, m_int = jax.lax.scan(body_for(light_cfg), world,
+                                        scales[:-1])
+        world, m_last = body_for(full_cfg)(world, scales[-1])
+        m_last = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[None], m_last)
+        if C > 1:
+            m = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), m_int, m_last)
+        else:
+            m = m_last
+        return world, m
 
     return jax.jit(run)
 
@@ -69,7 +101,7 @@ class AdaptiveChunkStepper:
     """
 
     def __init__(self, cfg: WorldConfig, chunk: int = 16,
-                 patience: int = 2):
+                 patience: int = 2, light: bool = False):
         if cfg.adapt_schedule is None:
             raise ValueError("cfg.adapt_schedule is None — use "
                              "make_chunk_step directly")
@@ -78,16 +110,16 @@ class AdaptiveChunkStepper:
         self.chunk = int(chunk)
         self.patience = int(patience)
         base = cfg._replace(adapt_schedule=None)
-        self.full = make_chunk_step(base)
+        self.full = make_chunk_step(base, light=light)
         self.hot = make_chunk_step(base._replace(solver_iters=int(it2),
-                                                 solver_inner=int(in2)))
+                                                 solver_inner=int(in2)),
+                                   light=light)
         self.hot_on = False
         self._streak = 0
-        self._pending = []      # [(warm_hit_frac device scalar, was_hot)]
+        self._pending = []      # warm_hit_frac device scalars, oldest first
 
     def _drain_one(self):
-        frac_dev, _ = self._pending.pop(0)
-        frac = float(np.asarray(frac_dev))
+        frac = float(np.asarray(self._pending.pop(0)))
         if frac >= self.thr:
             self._streak += 1
             if self._streak >= self.patience:
@@ -101,13 +133,15 @@ class AdaptiveChunkStepper:
         schedule used was decided from the chunk-before-last's metrics."""
         if scales is None:
             scales = jnp.ones((self.chunk,), jnp.float32)
-        # decide from reads that are >= 2 chunks old (their device work
-        # is complete, so the transfer can't stall the queue)
-        while len(self._pending) > 2:
+        # decide from reads that are EXACTLY 2 chunks old (their device
+        # work is complete, so the transfer can't stall the queue) —
+        # draining at >= 2 (not > 2) keeps the lag at the documented 2*C
+        # steps (ADVICE r4)
+        while len(self._pending) >= 2:
             self._drain_one()
         f = self.hot if self.hot_on else self.full
         world, m = f(world, scales)
-        self._pending.append((m["warm_hit_frac"][-1], self.hot_on))
+        self._pending.append(m["warm_hit_frac"][-1])
         return world, m
 
     def run(self, world, n_steps, scales=None):

@@ -392,9 +392,17 @@ def contact_capsule_moving_sphere_np(ca, cd, cr, sc, sr, v):
     return a, b, n, t, valid
 
 
-def contact_capsule_moving_capsule_np(a1, d1, r1, a2, d2, r2, v):
+def contact_capsule_moving_capsule_np(a1, d1, r1, a2, d2, r2, v,
+                                      ends: bool = False):
     """collision.rs:1205-1355 (mirrors collision.contact_capsule_
-    moving_capsule)."""
+    moving_capsule).
+
+    ``ends=True`` mirrors the engine's documented "ends" EXTENSION
+    (collision.py contact_capsule_moving_capsule, cfg.cap_manifold):
+    the parallel flank case returns the overlap interval's two ENDPOINT
+    contacts instead of the single midpoint — returns (slot0, slot1)
+    5-tuples; slot1 is valid only for a genuinely extended flank
+    interval (same s_hi - s_lo > 1e-5 gate as the engine)."""
     p_start, _, par_a = _closest_pts_seg(a1, a1 + d1, a2, a2 + v)
     p_end, _, par_b = _closest_pts_seg(a1, a1 + d1, a2 + d2, a2 + d2 + v)
     sub_a = np.where(par_a[..., None], a1, p_start)
@@ -435,16 +443,22 @@ def contact_capsule_moving_capsule_np(a1, d1, r1, a2, d2, r2, v):
     ef = contact_capsule_moving_sphere_np(a1, d1, r1, c_a + c_d, r2, v)
     en = contact_capsule_moving_sphere_np(a1, d1, r1, c_a, r2, v)
 
-    s_t = (np.clip(t_min, 0.0, 1.0) + np.clip(t_max, 0.0, 1.0)) * 0.5
-    o_t = _safe_div(s_t - t_min, t_max - t_min)
-    a_c = a1 + d1 * s_t[..., None]
-    b_c = c_a + c_d * o_t[..., None] + b_shift
-    ab = b_c - a_c
-    ab_zero = _dot(ab, ab) == 0.0
     v_ok = _dot(v, v) != 0.0
-    n_mid = np.where(ab_zero[..., None], -_normalize(v), _normalize(ab))
-    mid = (a_c + n_mid * r1[..., None], b_c - n_mid * r2[..., None],
-           n_mid, t_contact, np.where(ab_zero, v_ok, True))
+
+    def interval_contact(s_t):
+        """Flank contact at axis-1 parameter s_t of the overlap interval
+        (mirrors collision.py interval_contact)."""
+        o_t = _safe_div(s_t - t_min, t_max - t_min)
+        a_c = a1 + d1 * s_t[..., None]
+        b_c = c_a + c_d * o_t[..., None] + b_shift
+        ab = b_c - a_c
+        ab_zero = _dot(ab, ab) == 0.0
+        n_ = np.where(ab_zero[..., None], -_normalize(v), _normalize(ab))
+        return (a_c + n_ * r1[..., None], b_c - n_ * r2[..., None],
+                n_, t_contact, np.where(ab_zero, v_ok, True))
+
+    s_lo = np.clip(t_min, 0.0, 1.0)
+    s_hi = np.clip(t_max, 0.0, 1.0)
 
     def sel(cond, x, y):
         out = []
@@ -454,11 +468,24 @@ def contact_capsule_moving_capsule_np(a1, d1, r1, a2, d2, r2, v):
             out.append(np.where(c, xx, yy))
         return tuple(out)
 
-    c_par = sel(t_max <= 0.0, ef, sel(t_min >= 1.0, en, mid))
     par_miss = (~touching) & (~approaching)
-    c_par = c_par[:4] + (c_par[4] & ~par_miss,)
-    out = sel(axes_par, c_par, c_np)
-    return out[:4] + (out[4] & ~second_par_miss,)
+    mid_case = (~(t_max <= 0.0)) & (~(t_min >= 1.0))
+
+    def par_slot(c_flank):
+        c_par = sel(t_max <= 0.0, ef, sel(t_min >= 1.0, en, c_flank))
+        return c_par[:4] + (c_par[4] & ~par_miss,)
+
+    if not ends:
+        out = sel(axes_par, par_slot(interval_contact((s_lo + s_hi) * 0.5)),
+                  c_np)
+        return out[:4] + (out[4] & ~second_par_miss,)
+
+    slot0 = sel(axes_par, par_slot(interval_contact(s_lo)), c_np)
+    slot0 = slot0[:4] + (slot0[4] & ~second_par_miss,)
+    c_hi = interval_contact(s_hi)
+    slot1 = c_hi[:4] + (c_hi[4] & axes_par & mid_case & ~par_miss
+                        & ~second_par_miss & (s_hi - s_lo > 1e-5),)
+    return slot0, slot1
 
 
 def _seg_2d_intersect_np(ax, ay, bx, by, cx, cy, dx, dy):
@@ -839,11 +866,15 @@ def _quat_to_mat(q):
 
 
 def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
-                mgf_friction: bool = True):
+                mgf_friction: bool = True, cap_manifold: str = "mid"):
     """One reference frame.  Returns (new_world, contact_records) where
     ``contact_records`` is a dict of arrays describing every solved contact
     (kind 0 = terrain, 1 = pair) in constraint insertion order.  ``j`` for
-    terrain rows encodes triangle * 2 + slot (capsules emit two slots)."""
+    terrain rows encodes triangle * 2 + slot (capsules emit two slots).
+    ``slot`` records the pair manifold slot (always 0 except capsule pairs
+    under ``cap_manifold="ends"`` — the engine's two-endpoint flank
+    extension, cfg.cap_manifold; collision.rs:1331-1354 is the single-
+    midpoint "mid" default)."""
     n = w.x.shape[0]
     x = w.x + w.delta                       # complete_motion
     # integrate (physics.rs:222-253): q += 0.5 (0, w dt) q, normalized;
@@ -867,9 +898,9 @@ def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
     cap_d = 2.0 * d_half
 
     cons = []
-    rec = dict(kind=[], i=[], j=[], t=[], n=[], pa=[], pb=[])
+    rec = dict(kind=[], i=[], j=[], t=[], n=[], pa=[], pb=[], slot=[])
 
-    def emit(kind, bi, jid, a, b, nn, t):
+    def emit(kind, bi, jid, a, b, nn, t, slot=0):
         rec["kind"].append(np.full(len(bi), kind, np.int32))
         rec["i"].append(bi.astype(np.int32))
         rec["j"].append(jid.astype(np.int32))
@@ -877,6 +908,7 @@ def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
         rec["n"].append(nn)
         rec["pa"].append(a)
         rec["pb"].append(b)
+        rec["slot"].append(np.full(len(bi), slot, np.int32))
 
     # ---- terrain: per body, per triangle (world.rs:240-253) ----
     T = w.tri_a.shape[0]
@@ -953,12 +985,34 @@ def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
             ra_, rb_, rn, rt, rv = contact_sphere_moving_sphere(
                 x[ii[s]], w.r[ii[s]], x[jj[s]], w.r[jj[s]], vrel[s])
             put(s, (ra_, rb_, rn, rt, rv))
+        # ends slot-1 buffers (cap_manifold="ends": capsule-pair flank
+        # intervals emit a second endpoint contact)
+        a1s = np.zeros((len(ii), 3))
+        b1s = np.zeros((len(ii), 3))
+        n1s = np.zeros((len(ii), 3))
+        t1s = np.zeros(len(ii))
+        valid1 = np.zeros(len(ii), bool)
         m_cc = np.nonzero(ti_cap & tj_cap)[0]
         if len(m_cc):
             s = m_cc
-            put(s, contact_capsule_moving_capsule_np(
+            res = contact_capsule_moving_capsule_np(
                 cap_a[ii[s]], cap_d[ii[s]], w.r[ii[s]],
-                cap_a[jj[s]], cap_d[jj[s]], w.r[jj[s]], vrel[s]))
+                cap_a[jj[s]], cap_d[jj[s]], w.r[jj[s]], vrel[s],
+                ends=cap_manifold == "ends")
+            if cap_manifold == "ends":
+                slot0, slot1 = res
+                put(s, slot0)
+                a1s[s], b1s[s], n1s[s] = slot1[0], slot1[1], slot1[2]
+                t1s[s], valid1[s] = slot1[3], slot1[4]
+                # emulate the engine pruner's proximity merge at the ends
+                # threshold (manifold_prox_sq == 1e-4): a slot-1 endpoint
+                # within 1e-2 of slot 0's is merged away by the engine
+                d0a = np.sum((a1s[s] - slot0[0]) ** 2, axis=-1)
+                d0b = np.sum((b1s[s] - slot0[1]) ** 2, axis=-1)
+                valid1[s] = slot1[4] & (~slot0[4]
+                                        | ((d0a > 1e-4) & (d0b > 1e-4)))
+            else:
+                put(s, res)
         m_cs = np.nonzero(ti_cap & ~tj_cap)[0]
         if len(m_cs):
             s = m_cs
@@ -976,6 +1030,7 @@ def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
             adv = vrel[s] * ct[..., None]
             put(s, (cb_ + adv, ca_ + adv, -cn, ct, cv))
 
+        ii0, jj0 = ii, jj
         adv = delta[ii] * t[..., None]
         a = a + adv
         b = b + adv
@@ -987,6 +1042,21 @@ def oracle_step(w: OracleWorld, dt: float = 1.0 / 60.0, iters: int = 20,
         cons.append(_build_constraints(w, x_end, v, omega, ii, jj, ra, rb,
                                        nn, dt, static_b=None))
         emit(1, ii, jj, a, b, nn, t)
+        if cap_manifold == "ends" and valid1.any():
+            # second flank-endpoint contacts (engine manifold slot 1),
+            # advected and constrained exactly like slot 0
+            k1 = np.nonzero(valid1)[0]
+            i1, j1 = ii0[k1], jj0[k1]
+            adv1 = delta[i1] * t1s[k1][..., None]
+            a1 = a1s[k1] + adv1
+            b1 = b1s[k1] + adv1
+            n1 = n1s[k1]
+            t1_ = t1s[k1]
+            ra1 = a1 - (x[i1] + delta[i1] * t1_[:, None])
+            rb1 = b1 - (x[j1] + delta[j1] * t1_[:, None])
+            cons.append(_build_constraints(w, x_end, v, omega, i1, j1,
+                                           ra1, rb1, n1, dt, static_b=None))
+            emit(1, i1, j1, a1, b1, n1, t1_, slot=1)
 
     records = {k: (np.concatenate(vals) if vals else np.zeros((0,)))
                for k, vals in rec.items()}

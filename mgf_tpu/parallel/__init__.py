@@ -8,4 +8,6 @@ the ICI mesh.
 """
 
 from mgf_tpu.parallel.sharded import make_sharded_step, shard_world
-from mgf_tpu.parallel.spatial import make_spatial_step, shard_world_spatial
+from mgf_tpu.parallel.spatial import (init_spatial_bp_cache,
+                                      make_spatial_step,
+                                      shard_world_spatial)

@@ -231,9 +231,14 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # grid carries coordinates inline so the cull needs NO
         # per-candidate gather.  sel8 ("fat8x4") is out: its guarantee is
         # cell/2 and capsule reach exceeds it at any usable cell size.
-        # y gets 16 cells like the sphere pile (flat scene, modulus 25.6)
+        # y gets 16 cells like the sphere pile (flat scene, modulus 32)
         # — 32 doubled the table + its build scatter for nothing.
-        grid = GridConfig(cell_size=1.6, dim=(128, 16, 128), bucket_cap=8)
+        # r5: cell 2.0 / cap 14 — the r4 "m4" sweep's measured mixed speed
+        # lever (+20% at 10k, unchanged quality): the capsule-capsule pair
+        # reach (~1.54) leaves only ~0.03 of cadence slack at cell 1.6,
+        # pinning bp_every at 2; cell 2.0 budgets ~0.23/body so the
+        # staleness-gated cadence can actually engage (bp_every=8).
+        grid = GridConfig(cell_size=2.0, dim=(128, 16, 128), bucket_cap=14)
         # NO row compaction (rows=0): the packed (R0, N, 20) top-k
         # intermediate pads its 20-wide minor 6.4x — measured 58 ms of
         # the 150 ms mixed step (r4 profile), the single biggest row.
@@ -256,8 +261,11 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
             dim *= 2
         # per-axis dims (r3): the pile is FLAT — y spans ~0..17 plus bounce
         # (16 cells = 25.6 modulus covers it; span_excess watches aliasing)
-        # while x/z need `dim`.
-        grid = GridConfig(cell_size=1.6, dim=(dim, 16, dim), bucket_cap=10)
+        # while x/z need `dim`.  cap 12 (r5): cap 10 measured a transient
+        # overflow of 2 bodies at one settled rebuild (an 11-occupant
+        # cell); 12 is throughput-neutral (59.7 vs 59.8) and restores the
+        # overflow-0 guard margin.
+        grid = GridConfig(cell_size=1.6, dim=(dim, 16, dim), bucket_cap=12)
         # R = K + terrain_cand = 12 solver rows, NO compaction: the
         # packed top-k selection's (R0, N, 20) intermediate pads its
         # 20-wide minor dim 6.4x — measured slower than just solving the
@@ -301,11 +309,15 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # rebuild only on the cadence OR the moment any body's drift +
         # reach growth exceeds its build slack (exact staleness trigger,
         # r4) — transients degrade to rebuild-every-step automatically.
-        # Spheres: the 27-window slack budget sustains a long cadence
-        # (the drift trigger fires every ~10 settled steps, so 16 vs 24
-        # is immaterial — sweep set "w").  Mixed: capsule reach leaves
-        # ~0.03 slack, cadence 2.
-        bp_every=2 if mixed else 16,
+        # Spheres: the 27-window slack budget sustains a long cadence —
+        # the exact staleness trigger, not the modulus, schedules rebuilds
+        # (fires every ~10 settled steps), so the forced-rebuild modulus
+        # only ADDS rebuilds.  r5: 16 -> 32 measured +0.8 steps/s at the
+        # settled 100k state (60.7 vs 59.9), drift_excess still 0 by
+        # construction.  Mixed: cell 2.0 budgets real capsule slack (r5;
+        # at cell 1.6 capsule reach left ~0.03 and pinned the cadence
+        # at 2).
+        bp_every=8 if mixed else 32,
         # hybrid warm matching (r4): positional (elementwise) on
         # cache-reuse steps — the cached partner rows are bit-identical
         # so pos matching is exact for pair rows — and the full
@@ -319,7 +331,10 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # interval-midpoint contact (pen ~0.54 at 100k mixed) — the
         # "ends" extension emits the overlap interval's two endpoints
         # into the two manifold slots (collision.py:413-514, documented
-        # divergence; parity-gated vs the oracle in test_oracle.py)
+        # divergence).  r5: the extension's contact stream is now
+        # parity-gated against the f64 oracle's own ends mode
+        # (test_oracle.py::test_capsule_ends_contact_stream_parity +
+        # scripts/mixed_resync.py; PARITY.md "ends resync" row)
         cap_manifold="ends" if mixed else "mid",
         fused_iso=not mixed)
     from mgf_tpu.world import init_bp_cache, init_warm

@@ -189,6 +189,20 @@ class WorldConfig(NamedTuple):
                                      # capsule block.  Identical contacts;
                                      # rows solver + culled/absent terrain
                                      # only (-1 = generic 4-kernel path)
+    light_metrics: bool = False      # skip the heavyweight observability
+                                     # reductions (reach/span excess,
+                                     # max_penetration, num_pairs/contacts,
+                                     # solver_dv_norm — ~1.7 ms/step of
+                                     # "tail" at 100k, PERF.md r4 s5); the
+                                     # skipped keys return 0 with the same
+                                     # dtypes.  warm_hit_frac, overflow and
+                                     # the bp staleness machinery (physics-
+                                     # relevant) always run.  Meant for the
+                                     # interior steps of a scanned chunk —
+                                     # driver.make_chunk_step(light=True)
+                                     # runs the chunk's LAST step with full
+                                     # metrics so quality guards stay
+                                     # observable every chunk
     fused_iso: bool = False          # spheres+rows+warm_start fast path:
                                      # ONE wide partner gather at
                                      # narrowphase time feeds contact test
@@ -656,9 +670,10 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # and silently miss pairs.
     r_eff = jnp.where(alive, jnp.maximum(
         bounds.r.x, jnp.maximum(bounds.r.y, bounds.r.z)), 0.0)
+    light = cfg.light_metrics
     # top-2 via two max passes (lax.top_k over 100k costs ~2 ms on v5e
     # for a 2-element result; two reductions are ~free)
-    if n >= 2:
+    if n >= 2 and not light:
         m1 = jnp.max(r_eff)
         m2 = jnp.maximum(jnp.max(jnp.where(r_eff < m1, r_eff, -jnp.inf)),
                          0.0)
@@ -669,7 +684,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                  * (0.5 if cfg.broadphase in ("fat8", "fat8x4") else 1.0))
     fat_modes = ("fat", "fat8", "fat8x4", "fat27x4")
     reach_excess = (jnp.maximum(top2sum - guarantee, 0.0)
-                    if cfg.use_grid else jnp.float32(0.0))
+                    if cfg.use_grid and not light else jnp.float32(0.0))
     # modulus-aliasing observability: if the scene span exceeds the grid
     # modulus (dim_axis * cell, PER AXIS since dims may differ), distinct
     # OCCUPIED cells collide in the table and buckets overflow silently
@@ -681,7 +696,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         span(bounds.c.x) / (gdims[0] * cfg.grid.cell_size),
         span(bounds.c.y) / (gdims[1] * cfg.grid.cell_size)),
         span(bounds.c.z) / (gdims[2] * cfg.grid.cell_size))
-        - 1.0, 0.0) if cfg.use_grid else jnp.float32(0.0))
+        - 1.0, 0.0) if cfg.use_grid and not light else jnp.float32(0.0))
     if cfg.profile_stage == "integrate":
         return world, {"probe": jnp.sum(bounds.c.x)}
     new_bp = world.bp
@@ -918,7 +933,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         pen = dot(c.b - c.a, c.n)
         return jnp.max(jnp.where(c.valid, jnp.maximum(-pen, 0.0), 0.0))
 
-    max_pen = _deepest(pc)
+    max_pen = jnp.float32(0.0) if light else _deepest(pc)
 
     # ---- terrain narrowphase ----
     # "dense": every (body, triangle) pair — exact for small terrains
@@ -1088,7 +1103,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                                prox_sq=manifold_prox_sq(cfg)))
         idx_a.append(t_rows)
         idx_b.append(jnp.full_like(t_rows, n))
-        max_pen = jnp.maximum(max_pen, _deepest(tc))
+        if not light:
+            max_pen = jnp.maximum(max_pen, _deepest(tc))
     if cfg.profile_stage == "terrain":
         return world, {"probe": sum(jnp.sum(m_.valid) for m_ in manifolds)
                        + max_pen}
@@ -1481,7 +1497,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             # prefix ends at the solve output — the diff to the full step
             # attributes warm extraction + metrics tail
             return world, {"probe": jnp.sum(v.x) + jnp.sum(omega.x)}
-        num_contacts = jnp.sum(rc_valid)
+        num_contacts = jnp.int32(0) if light else jnp.sum(rc_valid)
         num_constraints = rc_valid.size
         solver_rows_dropped = rows_dropped
     else:
@@ -1524,18 +1540,25 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
     # only mutates velocities; next frame's complete_motion commits the
     # pre-solve displacement and Baumgarte recovers any penetration.
     vt, ot = trim(v), trim(omega)
-    dv = vt - state.v            # statics never move: the trim drops only 0s
+    if light:
+        dv_norm = jnp.float32(0.0)
+    else:
+        dv = vt - state.v        # statics never move: the trim drops only 0s
+        dv_norm = jnp.sqrt(jnp.sum(dv.x * dv.x + dv.y * dv.y
+                                   + dv.z * dv.z))
     state = state._replace(v=vt, omega=ot)
 
     metrics = {
-        "num_alive": jnp.sum(alive),
+        "num_alive": jnp.int32(0) if light else
+        jnp.sum(alive).astype(jnp.int32),
         "broadphase_overflow": overflow,
         "broadphase_reach_excess": reach_excess,
         "broadphase_span_excess": span_excess,
         "terrain_reach_excess": t_reach_excess,
         "broadphase_rebuilt": bp_rebuilt,
         "broadphase_cache_drift_excess": bp_drift_excess,
-        "num_pairs": jnp.sum(pair_valid),
+        "num_pairs": jnp.int32(0) if light else
+        jnp.sum(pair_valid).astype(jnp.int32),
         "num_contacts": num_contacts,
         "num_constraints": num_constraints,
         "solver_rows_dropped": solver_rows_dropped,
@@ -1543,8 +1566,7 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
         # observability (SURVEY §5.5): deepest contact penetration and the
         # total solver velocity correction this step
         "max_penetration": max_pen,
-        "solver_dv_norm": jnp.sqrt(jnp.sum(dv.x * dv.x + dv.y * dv.y
-                                           + dv.z * dv.z)),
+        "solver_dv_norm": dv_norm,
     }
     if collect_contacts:
         flat = lambda c: jax.tree_util.tree_map(

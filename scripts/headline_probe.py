@@ -23,11 +23,22 @@ def main():
     ap.add_argument("--warmup", type=int, default=1300)
     ap.add_argument("--iters", type=int, default=80)
     ap.add_argument("--mixed", action="store_true")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="steps per dispatch (0 = per-step, no scan); the "
+                         "bench headline runs chunk=16")
+    ap.add_argument("--cap", type=int, default=0,
+                    help="override grid bucket_cap")
+    ap.add_argument("--bp_every", type=int, default=0)
     args = ap.parse_args()
 
     w, cfg = stress_scene(args.bodies, mixed=args.mixed)
+    if args.cap:
+        cfg = cfg._replace(grid=cfg.grid._replace(bucket_cap=args.cap))
+    if args.bp_every:
+        cfg = cfg._replace(bp_every=args.bp_every)
     sps, comp, world, m = bench.time_steps(
-        w, cfg, warmup=args.warmup, iters=args.iters, windows=3)
+        w, cfg, warmup=args.warmup, iters=args.iters, windows=3,
+        chunk=args.chunk)
     m = jax.tree_util.tree_map(np.asarray, m)
     print(f"steps/s {sps:.2f}  compile {comp:.1f}s  "
           f"contacts {int(m['num_contacts'])}  "
