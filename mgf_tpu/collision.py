@@ -332,13 +332,17 @@ def contact_plane_moving_sphere(p: Plane, s: Sphere, v: Vec3) -> Contact:
 
 
 def contact_plane_moving_capsule(p: Plane, cap: Capsule, v: Vec3) -> Contact:
-    """Plane vs swept capsule (collision.rs:555-605).  Reference quirks
-    preserved (the axis parameter is measured along the *normalized* axis but
-    compared against [0, 1])."""
+    """Plane vs swept capsule (collision.rs:555-605).
+
+    CORRECTNESS divergence (same class as the polygon routine, see
+    `_contact_polygon_moving_capsule` stage 1): the reference measures the
+    axis-plane crossing along the NORMALIZED axis but tests [0, 1] and
+    evaluates the crossing point with the UNNORMALIZED axis — exact only
+    for |d| == 1.  We use the actual segment parameter."""
     d_hat = safe_normalize(cap.d)
     denom = dot(p.n, d_hat)
     parallel = jnp.abs(denom) < COLLISION_EPSILON
-    t_axis = safe_div(p.d - dot(p.n, cap.a), denom)
+    t_axis = safe_div(p.d - dot(p.n, cap.a), dot(p.n, cap.d))
 
     center = where_vec(parallel, cap.a + cap.d * 0.5,
                        where_vec(t_axis > 1.0, cap.a + cap.d, cap.a))
@@ -593,10 +597,21 @@ def _contact_polygon_moving_capsule(plane: Plane, verts, edges, contains_fn,
     batch = jnp.shape(cap.r)
 
     # ---- stage 1: already piercing the plane inside the face -------------
+    # CORRECTNESS divergence (collision.rs:698-703): the reference measures
+    # the axis-plane crossing t along the NORMALIZED axis but tests it
+    # against [0, 1] and then evaluates q = a + d*t with the UNNORMALIZED
+    # axis — exact only for |d| == 1 (all its demo capsules).  For
+    # |d| != 1 it fires phantom t=0 "pierce" contacts for capsules whose
+    # segment does NOT cross the plane (any near-vertical capsule within
+    # 1 unit above a floor), with a fabricated deep witness pair
+    # (pen ~ r + axis offset) whose Baumgarte bias launches resting
+    # bodies (measured: the 100k mixed pile's entire >0.5 penetration
+    # class, settled |v| up to 6).  We classify by the actual segment
+    # crossing: t along the unnormalized axis in [0, 1].
     d_hat = safe_normalize(cap.d)
-    denom = dot(plane.n, d_hat)
-    non_par = jnp.abs(denom) > COLLISION_EPSILON
-    t_axis = safe_div(plane.d - dot(plane.n, cap.a), denom)
+    denom_seg = dot(plane.n, cap.d)
+    non_par = jnp.abs(dot(plane.n, d_hat)) > COLLISION_EPSILON
+    t_axis = safe_div(plane.d - dot(plane.n, cap.a), denom_seg)
     q_pierce = cap.a + cap.d * t_axis
     pierce = (non_par & (t_axis >= 0.0) & (t_axis <= 1.0)
               & contains_fn(q_pierce))

@@ -531,10 +531,14 @@ def _tri_cap_impl(ta, tb, tc, ca, cd, cr, v):
     edges = [(0, 1), (1, 2), (2, 0)]
 
     # ---- stage 1: axis piercing the face ----
+    # segment-parameter pierce classification (the engine's documented
+    # CORRECTNESS divergence from collision.rs:698-703 — the reference's
+    # normalized-axis t tested against [0,1] is exact only for |d| == 1
+    # and fabricates deep t=0 contacts otherwise; see collision.py
+    # _contact_polygon_moving_capsule stage 1)
     d_hat = _normalize(cd)
-    denom = _dot(nrm, d_hat)
-    non_par = np.abs(denom) > COLLISION_EPSILON
-    t_axis = _safe_div(pd - _dot(nrm, ca), denom)
+    non_par = np.abs(_dot(nrm, d_hat)) > COLLISION_EPSILON
+    t_axis = _safe_div(pd - _dot(nrm, ca), _dot(nrm, cd))
     q_pierce = ca + cd * t_axis[..., None]
     pierce = (non_par & (t_axis >= 0.0) & (t_axis <= 1.0)
               & _contains_tri_np(ta, tb, tc, q_pierce))

@@ -161,7 +161,7 @@ def terrain_scene(n_bodies: int = 10_000, grid_n: int = 72, seed: int = 2):
 
 
 def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
-                 layers: int = 12):
+                 layers: int = 12, cap_frac: float = 0.25):
     """The 100k-body scaling stress config (BASELINE.json config 5).
 
     Bodies start as a ``layers``-deep block (default 12 — the demos' 11^3
@@ -185,7 +185,13 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
 
     b = SceneBuilder()
     if mixed:
-        caps = np.arange(n_bodies) % 4 == 0
+        # every round(1/cap_frac)-th body is a capsule (default 25%);
+        # cap_frac=1.0 gives a pure-capsule pile (diagnostic sweeps)
+        if cap_frac >= 1.0:
+            caps = np.ones(n_bodies, bool)
+        else:
+            caps = np.arange(n_bodies) % max(int(round(1.0 / cap_frac)),
+                                             1) == 0
         b.add_spheres(pos[~caps], 0.5, mass=1.0, restitution=0.3,
                       friction=0.6)
         b.add_capsules(pos[caps] - np.asarray([[0.25, 0.0, 0.0]]),

@@ -535,3 +535,63 @@ def test_capsule_capsule_ends_extension():
     cx = contact_capsule_moving_capsule(c1, c3, v, ends=True)
     assert bool(cx.valid[0, 0])
     assert not bool(cx.valid[1, 0])
+
+
+def test_tri_capsule_pierce_segment_parameter():
+    """CORRECTNESS divergence from collision.rs:698-703: the reference
+    tests the axis-plane crossing t (measured along the NORMALIZED axis)
+    against [0, 1] and evaluates q = a + d*t with the UNNORMALIZED axis —
+    exact only for |d| == 1.  For short capsules it fabricates deep t=0
+    "pierce" contacts for bodies hovering clear of the plane (the 100k
+    mixed pile's entire >0.5-penetration class).  The port classifies by
+    the actual segment crossing."""
+    import jax.numpy as jnp
+    from mgf_tpu.collision import contact_triangle_moving_capsule
+    from mgf_tpu.geom import Capsule, Triangle
+    from mgf_tpu.math3d import vec3
+    from mgf_tpu import oracle
+
+    vv = lambda x, y, z: vec3(jnp.asarray([x], jnp.float32),
+                              jnp.asarray([y], jnp.float32),
+                              jnp.asarray([z], jnp.float32))
+    tri = Triangle(a=vv(-10.0, 0.0, -10.0), b=vv(-10.0, 0.0, 10.0),
+                   c=vv(10.0, 0.0, -10.0))
+
+    # near-vertical SHORT capsule (|d| = 0.5) hovering 0.12 above the
+    # floor, at rest: its segment never crosses the plane and its bottom
+    # sphere clears it — NO contact.  (The reference quirk fires a
+    # phantom t=0 pierce here because the plane is within 1 unit along
+    # the normalized axis.)
+    cap = Capsule(a=vv(0.0, 1.12, 0.0), d=vv(0.0, -0.5, 0.0),
+                  r=jnp.asarray([0.5], jnp.float32))
+    out = contact_triangle_moving_capsule(tri, cap, vv(0.0, 0.0, 0.0))
+    assert not bool(np.asarray(out.valid).any()), np.asarray(out.valid)
+
+    # genuinely piercing short capsule: segment crosses the plane inside
+    # the face -> one t=0 contact at the crossing point with the deep-end
+    # witness; engine f32 and oracle f64 agree
+    cap2 = Capsule(a=vv(0.5, 0.2, -3.0), d=vv(0.0, -0.5, 0.0),
+                   r=jnp.asarray([0.5], jnp.float32))
+    out2 = contact_triangle_moving_capsule(tri, cap2, vv(0.0, 0.0, 0.0))
+    assert bool(np.asarray(out2.valid)[0, 0])
+    np.testing.assert_allclose(float(out2.a.x[0, 0]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(out2.a.y[0, 0]), 0.0, atol=1e-6)
+    # deep end is a + d (y = -0.3), witness b = deep_end - n*r
+    np.testing.assert_allclose(float(out2.b.y[0, 0]), -0.8, atol=1e-6)
+    o = oracle.contact_triangle_moving_capsule_np(
+        np.array([[-10.0, 0.0, -10.0]]), np.array([[-10.0, 0.0, 10.0]]),
+        np.array([[10.0, 0.0, -10.0]]), np.array([[0.5, 0.2, -3.0]]),
+        np.array([[0.0, -0.5, 0.0]]), np.array([0.5]),
+        np.array([[0.0, 0.0, 0.0]]))
+    oa, ob, on, ot, ov = [np.asarray(z) for z in o[0]]
+    assert bool(ov[0])
+    np.testing.assert_allclose(oa[0], [0.5, 0.0, -3.0], atol=1e-9)
+    np.testing.assert_allclose(ob[0, 1], -0.8, atol=1e-9)
+    # the hovering capsule must be contact-free in the oracle too
+    o2 = oracle.contact_triangle_moving_capsule_np(
+        np.array([[-10.0, 0.0, -10.0]]), np.array([[-10.0, 0.0, 10.0]]),
+        np.array([[10.0, 0.0, -10.0]]), np.array([[0.0, 1.12, 0.0]]),
+        np.array([[0.0, -0.5, 0.0]]), np.array([0.5]),
+        np.array([[0.0, 0.0, 0.0]]))
+    assert not bool(np.asarray(o2[0][4]).any())
+    assert not bool(np.asarray(o2[1][4]).any())
