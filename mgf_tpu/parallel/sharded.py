@@ -234,7 +234,8 @@ def make_sharded_step(cfg: WorldConfig, mesh: Mesh, axis: str = "b"):
              jnp.ones((1,), jnp.float32)])
 
         rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
-                                   cfg.dt, counts=counts, self_rows=rows_g)
+                                   cfg.dt, counts=counts, self_rows=rows_g,
+                                   bias_max=cfg.bias_max)
 
         # ---- scatter-free sharded row solve ----
         v0 = jax.tree_util.tree_map(

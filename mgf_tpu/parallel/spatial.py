@@ -189,6 +189,7 @@ HONORED_FIELDS = frozenset({
     "friction_mode", "two_phase", "solver_inner", "broadphase",
     "terrain_rows", "terrain_bp", "terrain_cand", "terrain_grid_cfg",
     "warm_start", "solver_rows", "cap_manifold", "stable_pairs",
+    "warm_gamma",        # scales the matched warm transfer at match time
     "warm_match",        # hybrid/pos honored with a bp cache (exact on
                          # reuse steps); upgraded-with-warning otherwise
     "adapt_schedule",    # in-graph cond on the psum'd warm-hit fraction
@@ -196,6 +197,7 @@ HONORED_FIELDS = frozenset({
     "bp_every",          # staleness-gated rebuild cadence (r5): per-shard
                          # anchors/slack + a pmax'd rebuild flag keep every
                          # shard's cache in lockstep
+    "bias_max",          # threaded into build_row_constraints unchanged
     "light_metrics",     # skips the same observability reductions
     "fused_iso",         # SEMANTICS honored (previous-frame mass-splitting
                          # counts ride the halo rows); the single-device
@@ -730,7 +732,8 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
 
         rc = build_row_constraints(bodies_ext, partner_rows, man_rows,
                                    cfg.dt, counts=counts,
-                                   self_rows=own_rows)
+                                   self_rows=own_rows,
+                                   bias_max=cfg.bias_max)
 
         # ---- warm-start row matching (global-id keys) ----
         partner_gid = gids[jnp.minimum(partner_rows, m_rows)]  # (R, n_loc)
@@ -775,6 +778,8 @@ def make_spatial_step(cfg: WorldConfig, mesh: Mesh, boundaries,
             else:
                 wn, wt1, wt2, matched = match_search(None)
             okf = rc.valid.astype(jnp.float32)
+            if cfg.warm_gamma != 1.0:
+                okf = okf * jnp.float32(cfg.warm_gamma)
             warm = (wn * okf, wt1 * okf, wt2 * okf)
 
         # global warm-hit fraction — the adaptive-schedule trigger; psum'd

@@ -342,6 +342,15 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
         # (test_oracle.py::test_capsule_ends_contact_stream_parity +
         # scripts/mixed_resync.py; PARITY.md "ends resync" row)
         cap_manifold="ends" if mixed else "mid",
+        # r5: full-gain warm pre-apply x sliding capsule contacts holds a
+        # self-sustaining agitated state on mixed piles (mean |v| 1.39
+        # where the f64 oracle and the engine's own cold-20 settle to
+        # 0.17-0.23; bisected in PERF.md "r5 mixed-quality root cause").
+        # gamma=0.8 damps the loop: settled mean |v| 0.27, contact count
+        # matches the cold run's fully-settled packing.  Spheres keep
+        # classic full warm starting (calm at gamma=1, and the damping
+        # costs a fraction of warm convergence).
+        warm_gamma=0.8 if mixed else 1.0,
         fused_iso=not mixed)
     from mgf_tpu.world import init_bp_cache, init_warm
     world = init_warm(world, cfg)

@@ -38,6 +38,24 @@ PENETRATION_SLOP = 0.05
 BAUMGARTE = 0.2
 
 
+def contact_bias(pen, rel_v, restitution, dt, bias_max: float = -1.0):
+    """Baumgarte + restitution bias velocity (solver.rs:145-153).
+
+    ``bias_max`` >= 0 clamps the POSITION-correction (Baumgarte) term —
+    a documented stability EXTENSION (off by default = reference
+    semantics): Baumgarte converts penetration into REAL outgoing
+    velocity (beta/dt = 12x pen at dt=1/60), so a deeply loaded contact
+    (capsule piles rock to ~0.3) is ejected at up to ~3 m/s, which then
+    re-triggers the restitution threshold on its neighbors — a measured
+    self-sustaining agitation loop at 100k mixed (escaped bodies,
+    settled |v| ~ 2-6).  The restitution term is never clamped."""
+    b = -BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
+                                    pen + PENETRATION_SLOP)
+    if bias_max >= 0.0:
+        b = jnp.minimum(b, bias_max)
+    return b + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0)
+
+
 class BodyView(NamedTuple):
     """Per-body quantities the solver reads (ConstrainedSet get,
     physics.rs:272-304).  Rows with inv_mass = 0, inv_moment = 0,
@@ -71,7 +89,8 @@ class ContactConstraints(NamedTuple):
 
 
 def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
-                      dt, split_a=None, split_b=None) -> ContactConstraints:
+                      dt, split_a=None, split_b=None,
+                      bias_max: float = -1.0) -> ContactConstraints:
     """Precompute per-contact state (ContactConstraint::new,
     solver.rs:101-192), vectorized over a pair batch.
 
@@ -112,9 +131,7 @@ def build_constraints(bodies: BodyView, body_a, body_b, manifold: Manifold,
         pen = dot((rb + xb) - (ra + xa), n)
         dv = vb + cross(ob, rb) - va - cross(oa, ra)
         rel_v = dot(dv, n)
-        bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
-                                            pen + PENETRATION_SLOP)
-                + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+        bias = contact_bias(pen, rel_v, restitution, dt, bias_max)
         normal_mass = safe_div(
             1.0, ima_s + dot(ra_cn, mat_vec(Ia_s, ra_cn))
             + imb_s + dot(rb_cn, mat_vec(Ib_s, rb_cn)))
@@ -364,7 +381,8 @@ def _unpack_solver_rows(A, B, C, idx):
 
 def build_row_constraints(bodies: BodyView, partner, manifold: Manifold,
                           dt, counts=None, self_rows=None,
-                          col_offset: int = 0) -> RowConstraints:
+                          col_offset: int = 0,
+                          bias_max: float = -1.0) -> RowConstraints:
     """Precompute per-slot state for the row solver.
 
     ``partner`` is (R, N) int32; ``manifold`` fields are already shaped
@@ -414,9 +432,7 @@ def build_row_constraints(bodies: BodyView, partner, manifold: Manifold,
     pen = dot((rb + xb) - (ra + xa), nrm)
     dv = vb + cross(ob, rb) - va - cross(oa, ra)
     rel_v = dot(dv, nrm)
-    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
-                                        pen + PENETRATION_SLOP)
-            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+    bias = contact_bias(pen, rel_v, restitution, dt, bias_max)
     normal_mass = safe_div(
         1.0, ima + dot(ra_cn, mat_vec(Ia, ra_cn))
         + imb + dot(rb_cn, mat_vec(Ib, rb_cn)))
@@ -453,7 +469,8 @@ def pack_solver_bodies_iso(bodies: BodyView, counts, iso_inv_moment):
 
 
 def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
-                              dt, counts=None) -> RowConstraints:
+                              dt, counts=None,
+                              bias_max: float = -1.0) -> RowConstraints:
     """Scalar-inertia build_row_constraints (spheres mode): identical
     physics to the Mat3 path when inv_moment == i * I3, at a third of the
     gather and arithmetic cost."""
@@ -499,9 +516,7 @@ def build_row_constraints_iso(bodies: BodyView, partner, manifold: Manifold,
     pen = dot((rb + xb) - (ra + xa), nrm)
     dv = vb + cross(ob, rb) - va - cross(oa, ra)
     rel_v = dot(dv, nrm)
-    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
-                                        pen + PENETRATION_SLOP)
-            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+    bias = contact_bias(pen, rel_v, restitution, dt, bias_max)
 
     def eff_mass(axis):
         return safe_div(
@@ -536,7 +551,8 @@ def build_row_constraints_iso_fused(bodies: BodyView, counts,
                                     pf: PartnerFields, partner,
                                     manifold: Manifold, dt,
                                     static_x: Vec3,
-                                    n_pair_rows: int) -> RowConstraints:
+                                    n_pair_rows: int,
+                                    bias_max: float = -1.0) -> RowConstraints:
     """Gather-free iso constraint precompute.
 
     Identical physics to :func:`build_row_constraints_iso` given the same
@@ -595,9 +611,7 @@ def build_row_constraints_iso_fused(bodies: BodyView, counts,
     pen = dot((rb + xb) - (ra + xa), nrm)
     dv = vb + cross(ob, rb) - va - cross(oa, ra)
     rel_v = dot(dv, nrm)
-    bias = (-BAUMGARTE / dt * jnp.where(pen > 0.0, 0.0,
-                                        pen + PENETRATION_SLOP)
-            + jnp.where(rel_v < -1.0, -restitution * rel_v, 0.0))
+    bias = contact_bias(pen, rel_v, restitution, dt, bias_max)
 
     def eff_mass(axis):
         return safe_div(

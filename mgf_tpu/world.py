@@ -162,6 +162,21 @@ class WorldConfig(NamedTuple):
                                      #   gathers; pair with stable_pairs,
                                      #   which makes slots stable whenever
                                      #   the partner set is unchanged)
+    warm_gamma: float = 1.0          # scale the matched warm-start
+                                     # transfer (pre-apply AND accumulator
+                                     # seed) by this factor.  1.0 = classic
+                                     # full warm starting.  < 1 damps the
+                                     # measured capsule-pile agitation
+                                     # loop: full-gain warm pre-apply x
+                                     # sliding capsule contact points holds
+                                     # a self-sustaining agitated state
+                                     # (mean |v| 1.39 where cold GS and the
+                                     # f64 oracle settle to 0.17-0.23);
+                                     # gamma 0.8 settles it to 0.27 with
+                                     # warm convergence intact (PERF.md
+                                     # "r5 mixed-quality root cause").
+                                     # Applied once at match time, before
+                                     # the split-solve block partition
     adapt_schedule: tuple = None     # (hit_frac, iters, inner): adaptive
                                      # solver schedule.  With warm_start,
                                      # when the fraction of valid rows
@@ -203,6 +218,19 @@ class WorldConfig(NamedTuple):
                                      # runs the chunk's LAST step with full
                                      # metrics so quality guards stay
                                      # observable every chunk
+    bias_max: float = -1.0           # >= 0: clamp the Baumgarte position-
+                                     # correction bias VELOCITY (the
+                                     # restitution term is never clamped).
+                                     # Documented stability EXTENSION
+                                     # (solver.contact_bias): the
+                                     # reference's unclamped beta/dt * pen
+                                     # converts deep penetration into real
+                                     # outgoing velocity (~12x pen at
+                                     # dt=1/60), a measured self-
+                                     # sustaining agitation loop in
+                                     # capsule piles (pops re-trigger the
+                                     # restitution threshold).  -1 =
+                                     # reference semantics
     fused_iso: bool = False          # spheres+rows+warm_start fast path:
                                      # ONE wide partner gather at
                                      # narrowphase time feeds contact test
@@ -1268,7 +1296,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             from mgf_tpu.solver import build_row_constraints_iso_fused
             rc = build_row_constraints_iso_fused(
                 bv, cnt_prev, pf, partner_rows, man_rows, cfg.dt,
-                world.terrain_center, n_pair_rows)
+                world.terrain_center, n_pair_rows,
+                bias_max=cfg.bias_max)
             solver_inertia = state.inv_moment.xx
             pt0 = None
         elif iso_mode:
@@ -1280,7 +1309,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                  jnp.ones((1,), jnp.float32)])
             counts = jnp.maximum(counts, 1.0)
             rc, pt0 = build_row_constraints_iso(
-                bodies_ext, partner_rows, man_rows, cfg.dt, counts=counts)
+                bodies_ext, partner_rows, man_rows, cfg.dt, counts=counts,
+                bias_max=cfg.bias_max)
             solver_inertia = bodies_ext.inv_moment.xx
         else:
             counts = jnp.concatenate(
@@ -1295,14 +1325,16 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                 tB = lambda t: jax.tree_util.tree_map(rows_b, t)
                 rc_a = build_row_constraints(
                     bodies_ext, rows_a(partner_rows), tA(man_rows),
-                    cfg.dt, counts=counts)
+                    cfg.dt, counts=counts, bias_max=cfg.bias_max)
                 rc_b = build_row_constraints(
                     bodies_ext, rows_b(partner_rows), tB(man_rows),
-                    cfg.dt, counts=counts, col_offset=ns_b)
+                    cfg.dt, counts=counts, col_offset=ns_b,
+                    bias_max=cfg.bias_max)
                 rc = None
             else:
                 rc = build_row_constraints(bodies_ext, partner_rows,
-                                           man_rows, cfg.dt, counts=counts)
+                                           man_rows, cfg.dt, counts=counts,
+                                           bias_max=cfg.bias_max)
             solver_inertia = bodies_ext.inv_moment
             pt0 = None
         rc_valid = man_rows.valid    # == rc.valid on every build path
@@ -1386,6 +1418,9 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
                     bp_rebuilt, match_search, match_pos, None)
             else:
                 wn, wt1, wt2, matched = match_search(None)
+            if cfg.warm_gamma != 1.0:
+                g = jnp.float32(cfg.warm_gamma)
+                wn, wt1, wt2 = wn * g, wt1 * g, wt2 * g
             warm = (wn, wt1, wt2)
         if cfg.profile_stage == "warm":
             z = jnp.float32(0.0)
@@ -1518,7 +1553,8 @@ def step(world: World, cfg: WorldConfig, collect_contacts: bool = False):
             split_a = counts[ia] if use_split else None
             split_b = counts[ib] if use_split else None
             cons.append(build_constraints(bodies_ext, ia, ib, man, cfg.dt,
-                                          split_a=split_a, split_b=split_b))
+                                          split_a=split_a, split_b=split_b,
+                                          bias_max=cfg.bias_max))
         con = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *cons)
 

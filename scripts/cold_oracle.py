@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--steps", type=int, default=420)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--sample", type=int, default=30)
+    ap.add_argument("--mixed", action="store_true",
+                    help="25%% capsule mix (the stress mixed scene) — "
+                         "ground truth for the mixed pile's settled "
+                         "agitation level under reference semantics")
     ap.add_argument("--textbook", action="store_true",
                     help="textbook clamped friction instead of the "
                          "reference's raw-lambda quirk")
@@ -47,7 +51,7 @@ def main():
     from mgf_tpu.oracle import from_world, oracle_step
     from mgf_tpu.scenes import stress_scene
 
-    world, _ = stress_scene(args.bodies)
+    world, _ = stress_scene(args.bodies, mixed=args.mixed)
     ow = from_world(world)
     print(f"oracle cold GS: {args.bodies} bodies, {args.iters} sweeps, "
           f"mgf_friction={not args.textbook}", flush=True)
@@ -57,9 +61,10 @@ def main():
                               mgf_friction=not args.textbook)
         if (s + 1) % args.sample == 0:
             nc = len(rec["t"])
+            vn = np.linalg.norm(ow.v, axis=-1)
             print(f"step {s+1:4d}: max_pen={pen_of(rec):.3f} "
                   f"contacts={nc} "
-                  f"v_max={np.linalg.norm(ow.v, axis=-1).max():.3f} "
+                  f"v_max={vn.max():.3f} v_mean={vn.mean():.3f} "
                   f"({(time.perf_counter()-t0)/(s+1):.2f} s/step)",
                   flush=True)
     print("done", flush=True)

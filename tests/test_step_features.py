@@ -206,6 +206,83 @@ def test_warm_match_pos_equals_search_when_set_stable():
     assert float(ms[-1]["warm_hit_frac"]) == float(ref_hit) == 1.0
 
 
+def test_warm_match_hybrid_equals_search_across_cadence():
+    """hybrid == search EXACTLY across a window that contains both
+    branch activations of hybrid's ``lax.cond(bp_rebuilt, match_search,
+    match_pos)`` (world.py) — rebuild steps take the search branch,
+    reuse steps the pos branch (VERDICT r4 weak #3: the wiring was only
+    exercised implicitly).  On this stable stack the candidate layout
+    cannot churn, so a swapped branch would shed warm rows and break the
+    bit-equality / warm_hit==1 assertions below."""
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.broadphase import GridConfig
+    from mgf_tpu.world import WorldConfig, make_world
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    b.add_sphere((0.0, 1.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    b.add_sphere((1.1, 0.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    verts = np.asarray([[-5, 0, -5], [-5, 0, 5], [5, 0, 5], [5, 0, -5]],
+                       np.float32)
+    faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
+    world = make_world(b.build(), verts, faces)
+    base = WorldConfig(dt=1 / 60, solver_iters=4, solver_inner=2,
+                       two_phase=False, shape_mode="spheres", solver="rows",
+                       grid=GridConfig(cell_size=2.0, dim=8, bucket_cap=4),
+                       max_pairs=4, fatten=0.02, warm_start=True,
+                       stable_pairs=True, terrain_bp="dense", bp_every=2,
+                       # the candidate cache only exists for the fat grid
+                       # modes (world.py fat_modes)
+                       broadphase="fat27x4")
+    world = init_warm(world, base)
+    world = init_bp_cache(world, base)
+    w0, _ = _steps(world, base, 30)           # settle + build warm rows
+    out = {}
+    for mode in ("search", "hybrid"):
+        w, ms = _steps(w0, base._replace(warm_match=mode), 8,
+                       collect=["warm_hit_frac", "broadphase_rebuilt"])
+        out[mode] = (w, ms)
+    w_h, ms_h = out["hybrid"]
+    w_s, ms_s = out["search"]
+    # the window exercised BOTH cond branches
+    rebuilt = [bool(m["broadphase_rebuilt"]) for m in ms_h]
+    assert any(rebuilt) and not all(rebuilt), rebuilt
+    np.testing.assert_array_equal(_pos(w_h), _pos(w_s))
+    for mh, msr in zip(ms_h, ms_s):
+        assert float(mh["warm_hit_frac"]) == float(
+            msr["warm_hit_frac"]) == 1.0
+
+
+def test_warm_gamma_semantics():
+    """cfg.warm_gamma scales the matched warm transfer at match time:
+    gamma=0 must be step-for-step identical to a zeroed warm cache (the
+    pre-apply AND the accumulator seed vanish together), and gamma=1 is
+    the default classic warm start (bit-identical to not setting it)."""
+    from mgf_tpu.physics import SceneBuilder
+    from mgf_tpu.broadphase import GridConfig
+    from mgf_tpu.world import WorldConfig, _reset_warm, make_world
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    b.add_sphere((0.0, 1.5, 0.0), 0.5, 1.0, 0.0, 0.6)
+    verts = np.asarray([[-5, 0, -5], [-5, 0, 5], [5, 0, 5], [5, 0, -5]],
+                       np.float32)
+    faces = np.asarray([(0, 1, 3), (1, 2, 3)], np.int32)
+    world = make_world(b.build(), verts, faces)
+    base = WorldConfig(dt=1 / 60, solver_iters=4, solver_inner=2,
+                       two_phase=False, shape_mode="spheres", solver="rows",
+                       grid=GridConfig(cell_size=2.0, dim=8, bucket_cap=4),
+                       max_pairs=4, fatten=0.02, warm_start=True,
+                       stable_pairs=True, terrain_bp="dense")
+    world = init_warm(world, base)
+    w0, _ = _steps(world, base, 20)            # build nonzero accumulators
+    assert float(np.abs(np.asarray(w0.warm.acc_n)).max()) > 0.0
+    w_g0, _ = _steps(w0, base._replace(warm_gamma=0.0), 3)
+    w_z, _ = _steps(_reset_warm(w0), base, 3)
+    np.testing.assert_array_equal(_pos(w_g0), _pos(w_z))
+    w_g1, _ = _steps(w0, base._replace(warm_gamma=1.0), 3)
+    w_d, _ = _steps(w0, base, 3)
+    np.testing.assert_array_equal(_pos(w_g1), _pos(w_d))
+
+
 def test_chunk_step_matches_per_step(settled):
     """driver.make_chunk_step (lax.scan, C steps per dispatch) is the SAME
     physics as C separate step() calls — bit-equal positions and metrics
