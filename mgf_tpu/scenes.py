@@ -280,10 +280,12 @@ def stress_scene(n_bodies: int = 100_000, mixed: bool = False, seed: int = 0,
     # warm_start (cross-frame impulse accumulators) holds the settled
     # 12-layer pile at max penetration ~0.17 where cold solves collapse
     # past 0.9 — see PERF.md
-    # mixed-mode note: capsule stacks settle at ~0.5 max penetration
-    # regardless of sweep budget or row count (measured 4x4 / 7x3 /
-    # uncompacted all ~0.52-0.68) — single-midpoint capsule manifolds
-    # rock under load; persistent 2-point manifolds are future work
+    # mixed-mode note (r5): with "ends" manifolds + the pierce-branch
+    # fix + warm_gamma, the mixed pile truly settles (mean |v| 0.20,
+    # freeze-stable); the remaining max penetration ~0.31-0.38 is the
+    # rows solver's split-mass equilibrium on the deepest-loaded
+    # bottom-layer rows — more sweeps do NOT reduce it (2x6/3x6/3x4/2x8
+    # all land 0.31-0.34 at 10k; PERF.md), per-class p99 <= 0.18
     # r3: fused_iso + stable_pairs + positional warm matching eliminate the
     # separate constraint-precompute and warm-match gathers and cut terrain
     # rows from the per-sweep solver gather (PERF.md r3 section)

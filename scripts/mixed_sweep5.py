@@ -73,6 +73,12 @@ def variant(name, cfg):
     if name == "warmcapb":
         # handled by the monkeypatch below (zero warm on the Mat3 block)
         return cfg
+    if name.startswith("adapt"):
+        # settled-schedule variants: adaptIJ = (0.97, I, J) — deep
+        # bottom-layer pen is a convergence equilibrium; outer refreshes
+        # propagate load through the stack
+        return cfg._replace(
+            adapt_schedule=(0.97, int(name[5]), int(name[6:])))
     raise ValueError(name)
 
 
